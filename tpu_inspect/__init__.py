@@ -1,0 +1,44 @@
+"""tpu-inspect: a TPU-native (JAX/XLA/Pallas) vision-inspection framework.
+
+Re-implements the capabilities of the classical-CV semiconductor mold
+inspection tool (reference: hazernest/Vision-Inspection-system-Segmentation-
+using-classical-computer-vision-) as batched, bit-exact device pipelines:
+
+- grid indexing of units on a mold image      (:mod:`tpu_inspect.geometry`)
+- per-unit segmentation (Otsu / adaptive)     (:mod:`tpu_inspect.models.segmentation`)
+- rect/circle exclusion zones + alignment     (:mod:`tpu_inspect.engine`)
+- foreign-material defect detection           (:mod:`tpu_inspect.models.defect`)
+- X/O (NG/OK) inspection verdicts             (:mod:`tpu_inspect.engine`)
+- grid JSON / masks+CSV import-export         (:mod:`tpu_inspect.persistence`)
+
+The reference's per-unit Python loop over OpenCV C++ calls becomes a single
+jitted function over a batched ``[units, H, W]`` uint8 tensor; every OpenCV
+primitive on the hot path is re-implemented bit-exactly on device (see
+``tpu_inspect.ops``).
+"""
+
+# Bit-exact parity with OpenCV requires float64 for the Otsu threshold scan
+# and centroid reductions (OpenCV computes both in double). Must run before
+# any JAX computation. All dtypes in this package are explicit, so enabling
+# x64 does not silently change any op's precision.
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from tpu_inspect.config import (  # noqa: E402
+    DefectParams,
+    GridParams,
+    InspectionParams,
+    SegmentationParams,
+)
+from tpu_inspect.geometry import grid_boxes  # noqa: E402
+
+__all__ = [
+    "DefectParams",
+    "GridParams",
+    "InspectionParams",
+    "SegmentationParams",
+    "grid_boxes",
+]
