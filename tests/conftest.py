@@ -1,18 +1,28 @@
 """Test configuration.
 
-Forces JAX onto the CPU backend with 8 virtual devices BEFORE jax is
-imported anywhere, so sharding/multi-chip tests run without TPU hardware
-(the standard fake-multi-device recipe; SURVEY.md section 4, point 5).
+Forces JAX onto the CPU backend with 8 virtual devices, so sharding /
+multi-chip tests run without TPU hardware (the standard fake-multi-device
+recipe; SURVEY.md section 4, point 5).
+
+Note: this environment boots an `axon` TPU platform from sitecustomize,
+which imports jax at interpreter start — so JAX_PLATFORMS env tweaks are
+too late. ``jax.config.update('jax_platforms', ...)`` still works as long
+as no backend has been initialized, and XLA_FLAGS is read at CPU-client
+creation, which also hasn't happened yet.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+if os.environ.get("TPU_INSPECT_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

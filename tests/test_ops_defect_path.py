@@ -1,0 +1,102 @@
+"""Parity tests for the defect-path ops: median blur + contour analysis."""
+
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_inspect.ops import contour, median
+from tpu_inspect.synthetic import random_blob_mask
+
+
+@pytest.mark.parametrize("k", [3, 5, 9, 21])
+def test_median_blur_parity(k):
+    imgs = np.random.RandomState(k).randint(0, 256, (3, 50, 57), dtype=np.uint8)
+    ref = np.stack([cv2.medianBlur(im, k) for im in imgs])
+    ours = np.asarray(median.median_blur_u8(jnp.asarray(imgs), k))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_median_blur_uniform_and_binary():
+    flat = np.full((1, 30, 30), 77, np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(median.median_blur_u8(jnp.asarray(flat), 21)), flat
+    )
+    binary = (np.random.RandomState(0).rand(1, 40, 40) < 0.5).astype(np.uint8) * 255
+    ref = cv2.medianBlur(binary[0], 9)
+    ours = np.asarray(median.median_blur_u8(jnp.asarray(binary), 9))[0]
+    np.testing.assert_array_equal(ours, ref)
+
+
+def _external_blob_areas(m):
+    cnts, _ = cv2.findContours(
+        (m > 0).astype(np.uint8).copy(), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+    )
+    return sorted(cv2.contourArea(c) for c in cnts)
+
+
+def _mask_zoo(seed):
+    rng = np.random.RandomState(seed)
+    zoo = [
+        random_blob_mask(45, 53, seed=seed, n_blobs=6),
+        (rng.rand(45, 53) < 0.5).astype(np.uint8) * 255,  # dense noise
+        np.zeros((20, 20), np.uint8),  # empty
+        np.full((20, 20), 255, np.uint8),  # full frame
+    ]
+    m = random_blob_mask(45, 53, seed=seed + 3, n_blobs=3)
+    holes = random_blob_mask(45, 53, seed=seed + 70, n_blobs=6, scale=0.1)
+    m[holes > 0] = 0
+    zoo.append(m)  # blobs with holes
+    single = np.zeros((15, 15), np.uint8)
+    single[7, 7] = 255  # single pixel: contourArea 0
+    zoo.append(single)
+    diag = np.zeros((20, 20), np.uint8)
+    for i in range(12):
+        diag[i + 3, i + 4] = 255  # diagonal line: contourArea 0
+    zoo.append(diag)
+    ring = np.zeros((21, 21), np.uint8)  # nested: RETR_EXTERNAL skips inner dot
+    yy, xx = np.mgrid[0:21, 0:21]
+    d2 = (yy - 10) ** 2 + (xx - 10) ** 2
+    ring[(d2 <= 81) & (d2 >= 49)] = 255
+    ring[10, 10] = 255
+    zoo.append(ring)
+    return zoo
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_contour_areas_match_cv2(seed):
+    for m in _mask_zoo(seed * 11):
+        ana = contour.analyze_blobs(jnp.asarray(m[None] > 0))
+        areas = np.asarray(ana.contour_area)[0]
+        isroot = np.asarray(ana.is_root)[0]
+        ours = sorted(areas[isroot])
+        ref = _external_blob_areas(m)
+        assert ours == ref, (ours, ref)
+
+
+@pytest.mark.parametrize("lo,hi", [(5, 100), (0, 1e9), (20, 50)])
+def test_filled_selection_matches_drawcontours(lo, hi):
+    for m in _mask_zoo(7):
+        ref = np.zeros_like(m)
+        cnts, _ = cv2.findContours(
+            (m > 0).astype(np.uint8).copy(), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+        )
+        for c in cnts:
+            a = cv2.contourArea(c)
+            if lo <= a <= hi:
+                cv2.drawContours(ref, [c], -1, 255, -1)
+        ana = contour.analyze_blobs(jnp.asarray(m[None] > 0))
+        keep = ana.is_root & (ana.contour_area >= lo) & (ana.contour_area <= hi)
+        out = np.asarray(contour.select_blobs(ana, keep))[0]
+        np.testing.assert_array_equal(out.astype(np.uint8) * 255, ref)
+
+
+@pytest.mark.parametrize("t1,t2", [(12, 24), (1, 2), (50, 100)])
+def test_canny_parity(t1, t2):
+    from tpu_inspect.ops import canny
+
+    imgs = np.random.RandomState(t2).randint(0, 256, (2, 40, 44), dtype=np.uint8)
+    ref = np.stack([cv2.Canny(im, t1, t2) for im in imgs])
+    ours = np.asarray(canny.canny_u8(jnp.asarray(imgs), t1, t2))
+    np.testing.assert_array_equal(ours, ref)

@@ -1,0 +1,336 @@
+"""Fused batched inspection pipelines (the TPU-native core).
+
+The reference's per-unit Python loop over ~10 OpenCV calls
+(run_segmentation_all, indexing_ui.py:2203-2368) becomes ONE jitted device
+function over a [units, H, W] uint8 tensor:
+
+    gather crops -> blur -> threshold -> morphology -> hole fill
+    -> largest-component centroid (alignment) -> exclusion masks
+
+All ops are bit-exact vs OpenCV (see tpu_inspect.ops). Static pipeline
+configuration (method, kernel sizes, exclusion count) specializes the
+compiled program; per-capture data (crops, exclusion geometry, alignment
+anchors) are device arrays, so editing an exclusion or switching images
+does NOT recompile.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_inspect.config import DefectParams, SegmentationParams
+from tpu_inspect.ops import cc, contour, hole_fill, median, morphology, threshold
+from tpu_inspect.ops.common import as_odd
+from tpu_inspect.ops.gaussian import gaussian_blur_u8
+
+
+@dataclass
+class SegmentationResult:
+    """Host-side view of one segmentation pass."""
+
+    masks: np.ndarray  # [U, H, W] uint8 0/255, exclusions applied
+    centroids: np.ndarray  # [U, 2] float64 pre-exclusion largest-CC centroid
+    centroid_valid: np.ndarray  # [U] bool
+    shifts: np.ndarray  # [U, 2] int32 (dx, dy) applied to exclusions
+
+    def centroid_dict(self) -> dict[int, tuple[float, float]]:
+        """Anchors in the persistence format {idx: (cx, cy)}."""
+        return {
+            int(i): (float(c[0]), float(c[1]))
+            for i, (c, v) in enumerate(zip(self.centroids, self.centroid_valid))
+            if v
+        }
+
+
+def pack_exclusions(exclusions) -> tuple[np.ndarray, np.ndarray]:
+    """Split exclusion dicts into (rects [Nr,4] int32, circles [Nc,3] int32).
+
+    Malformed entries are dropped, zero-size rects / r<=0 circles kept (they
+    apply as no-ops exactly like the reference's bounds checks,
+    indexing_ui.py:2325, :2332).
+    """
+    rects, circles = [], []
+    for e in exclusions or ():
+        try:
+            if e.get("shape") == "rect":
+                rects.append(
+                    [int(e.get("x", 0)), int(e.get("y", 0)), int(e.get("w", 0)), int(e.get("h", 0))]
+                )
+            else:
+                circles.append(
+                    [int(e.get("cx", 0)), int(e.get("cy", 0)), int(e.get("r", 0))]
+                )
+        except (AttributeError, TypeError, ValueError):
+            continue
+    return (
+        np.array(rects, dtype=np.int32).reshape(-1, 4),
+        np.array(circles, dtype=np.int32).reshape(-1, 3),
+    )
+
+
+def exclusion_zone(
+    shape: tuple[int, int],
+    rects: jnp.ndarray,
+    circles: jnp.ndarray,
+    dx: jnp.ndarray,
+    dy: jnp.ndarray,
+) -> jnp.ndarray:
+    """Rasterize per-unit shifted exclusions. Returns [U, H, W] bool.
+
+    Semantics of the apply loop (indexing_ui.py:2316-2338): rect bounds are
+    shifted then clamped to the unit (empty when degenerate); circles use
+    the integer disc test with no clamping.
+    """
+    h, w = shape
+    u = dx.shape[0]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 2)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 1)
+    dxe = dx[:, None, None]
+    dye = dy[:, None, None]
+    zone = jnp.zeros((u, h, w), dtype=bool)
+    for i in range(rects.shape[0]):
+        ex, ey, ew, eh = (rects[i, j] for j in range(4))
+        zone = zone | (
+            (xs >= ex + dxe)
+            & (xs < ex + ew + dxe)
+            & (ys >= ey + dye)
+            & (ys < ey + eh + dye)
+        )
+    for i in range(circles.shape[0]):
+        cx, cy, r = (circles[i, j] for j in range(3))
+        d2 = (xs - (cx + dxe)) ** 2 + (ys - (cy + dye)) ** 2
+        zone = zone | ((r > 0) & (d2 <= r * r))
+    return zone
+
+
+def raw_segment(crops: jnp.ndarray, seg: SegmentationParams) -> jnp.ndarray:
+    """Pre-exclusion segmentation chain (segment_cell parity, segmentation.py:75-100)."""
+    x = crops
+    if seg.gaussian_blur and seg.gaussian_blur > 0:
+        x = gaussian_blur_u8(x, as_odd(seg.gaussian_blur))
+    if seg.method == "adaptive":
+        bs = max(3, int(seg.adapt_block) | 1)
+        mask = threshold.adaptive_threshold_inv(x, bs, int(seg.adapt_C))
+    else:
+        mask = threshold.otsu_binary_inv(x)
+    if seg.morph_kernel and seg.morph_kernel > 0:
+        se = morphology.ellipse_se(max(1, int(seg.morph_kernel)))
+        mask = morphology.morph_close(mask, se)
+        mask = morphology.morph_open(mask, se)
+    return hole_fill.fill_holes(mask)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("seg", "is_reference", "shape_hw")
+)
+def _segment_device(
+    crops,
+    rects,
+    circles,
+    ref_centroids,
+    ref_valid,
+    *,
+    seg: SegmentationParams,
+    is_reference: bool,
+    shape_hw: tuple[int, int],
+):
+    mask = raw_segment(crops, seg)
+    pre_excl = mask > 0
+    _, _, centroid, has_fg = cc.largest_component(pre_excl)
+
+    u = crops.shape[0]
+    if is_reference:
+        dx = jnp.zeros((u,), dtype=jnp.int32)
+        dy = jnp.zeros((u,), dtype=jnp.int32)
+    else:
+        # dx, dy = int(round(c1 - c0)): Python round() == banker's rounding,
+        # which jnp.rint matches (indexing_ui.py:2310-2311).
+        ok = ref_valid & has_fg
+        delta = jnp.rint(centroid - ref_centroids).astype(jnp.int32)
+        dx = jnp.where(ok, delta[:, 0], 0)
+        dy = jnp.where(ok, delta[:, 1], 0)
+
+    if rects.shape[0] or circles.shape[0]:
+        zone = exclusion_zone(shape_hw, rects, circles, dx, dy)
+        mask = jnp.where(zone, jnp.uint8(0), mask)
+    return mask, centroid, has_fg, jnp.stack([dx, dy], axis=-1)
+
+
+def segment_units(
+    crops: np.ndarray | jnp.ndarray,
+    seg: SegmentationParams,
+    exclusions=(),
+    ref_centroids: np.ndarray | dict | None = None,
+    is_reference: bool = True,
+) -> SegmentationResult:
+    """Run the batched segmentation pass (run_segmentation_all parity).
+
+    ``crops``: [U, H, W] uint8 gray. On the reference image the returned
+    centroids become the alignment anchors; on other captures pass those
+    anchors back via ``ref_centroids`` (array [U, 2] or {idx: (cx, cy)}
+    dict) to shift the exclusions per unit.
+    """
+    crops = jnp.asarray(crops, dtype=jnp.uint8)
+    u, h, w = crops.shape
+    rects, circles = pack_exclusions(exclusions)
+
+    if isinstance(ref_centroids, dict):
+        arr = np.zeros((u, 2), dtype=np.float64)
+        valid = np.zeros((u,), dtype=bool)
+        for k, v in ref_centroids.items():
+            if 0 <= int(k) < u:
+                arr[int(k)] = (float(v[0]), float(v[1]))
+                valid[int(k)] = True
+        ref_arr, ref_ok = arr, valid
+    elif ref_centroids is None:
+        ref_arr = np.zeros((u, 2), dtype=np.float64)
+        ref_ok = np.zeros((u,), dtype=bool)
+    else:
+        ref_arr = np.asarray(ref_centroids, dtype=np.float64)
+        ref_ok = np.ones((u,), dtype=bool)
+
+    mask, centroid, has_fg, shifts = _segment_device(
+        crops,
+        jnp.asarray(rects),
+        jnp.asarray(circles),
+        jnp.asarray(ref_arr),
+        jnp.asarray(ref_ok),
+        seg=seg.validated(),
+        is_reference=bool(is_reference),
+        shape_hw=(h, w),
+    )
+    return SegmentationResult(
+        masks=np.asarray(mask),
+        centroids=np.asarray(centroid),
+        centroid_valid=np.asarray(has_fg),
+        shifts=np.asarray(shifts),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Defect detection + inspection verdicts
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class InspectionResult:
+    """Host-side view of one defect/inspection pass."""
+
+    defect_masks: np.ndarray  # [U, H, W] uint8 0/255 (all-zero when not valid)
+    valid: np.ndarray  # [U] bool: reference returned a mask (not None)
+    areas: np.ndarray  # [U] int64 defect pixel area (0 when not valid)
+    verdicts: np.ndarray  # [U] bool: True = NG
+
+    def defect_mask_list(self) -> list[np.ndarray | None]:
+        """Masks in the reference's Optional form (None where no detection)."""
+        return [
+            self.defect_masks[i] if self.valid[i] else None
+            for i in range(self.defect_masks.shape[0])
+        ]
+
+
+def defect_roi(seg_masks: jnp.ndarray, erode_px: int):
+    """ROI prep (indexing_ui.py:1480-1516): binarize seg mask, erode
+    ``erode_px`` iterations of 3x3 rect, keep the largest 8-connected
+    component (holes preserved). Returns (roi [U,H,W] bool, roi_empty [U])."""
+    seg_bin = seg_masks > 0
+    if erode_px > 0:
+        eroded = morphology.erode_rect3(
+            jnp.where(seg_bin, jnp.uint8(255), jnp.uint8(0)), erode_px
+        )
+        seg_bin = eroded > 0
+    largest, _, _, has_fg = cc.largest_component(seg_bin)
+    return largest, ~has_fg
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _defect_device(crops, seg_masks, *, params: DefectParams):
+    u, h, w = crops.shape
+    roi, roi_empty = defect_roi(seg_masks, int(params.erode_px))
+
+    thr = int(params.threshold)
+    if params.method == "threshold":
+        # residual from 21x21 median background (indexing_ui.py:1519-1535)
+        k = int(params.median_k)
+        if k % 2 == 0:
+            k += 1
+        bg = median.median_blur_u8(crops, k)
+        resid = jnp.abs(crops.astype(jnp.int32) - bg.astype(jnp.int32))
+        cand = threshold.threshold_binary(resid, thr)
+        cand = jnp.where(roi, cand, jnp.uint8(0))
+        cand = morphology.morph_open(cand, morphology.ellipse_se(3))
+    else:
+        from tpu_inspect.ops import canny as canny_op
+
+        edges = canny_op.canny_u8(crops, max(1, thr // 2), max(2, thr))
+        cand = jnp.where(roi, edges, jnp.uint8(0))
+
+    analysis = contour.analyze_blobs(cand > 0)
+
+    # area filter (indexing_ui.py:1542-1558): Python int() truncation of
+    # roi_area * 0.98 computed in double
+    min_area = jnp.float64(int(params.min_area))
+    roi_area = roi.sum(axis=(1, 2), dtype=jnp.int32)
+    max_area = jnp.maximum(
+        min_area,
+        jnp.floor(roi_area.astype(jnp.float64) * jnp.float64(params.max_area_frac)),
+    )
+    keep = (
+        analysis.is_root
+        & (analysis.contour_area >= min_area)
+        & (analysis.contour_area <= max_area[:, None])
+    )
+    found = keep.any(axis=1) & ~roi_empty
+    out = contour.select_blobs(analysis, keep)
+    out = jnp.where(found[:, None, None], out, False)
+    area = out.sum(axis=(1, 2), dtype=jnp.int64)
+    # verdict: NG iff defect area >= min area; None mask => OK
+    # (indexing_ui.py:1686-1700)
+    verdict = found & (area >= jnp.int64(int(params.min_area)))
+    return jnp.where(out, jnp.uint8(255), jnp.uint8(0)), found, area, verdict
+
+
+def detect_defects_batch(
+    crops: np.ndarray | jnp.ndarray,
+    seg_masks: np.ndarray | jnp.ndarray,
+    params: DefectParams,
+) -> InspectionResult:
+    """Batched _detect_defects_on_pix + verdicts (indexing_ui.py:1471-1572,
+    :1669-1700). One device roundtrip for all units."""
+    crops = jnp.asarray(crops, dtype=jnp.uint8)
+    seg_masks = jnp.asarray(seg_masks, dtype=jnp.uint8)
+    masks, found, area, verdict = _defect_device(
+        crops, seg_masks, params=params.validated()
+    )
+    return InspectionResult(
+        defect_masks=np.asarray(masks),
+        valid=np.asarray(found),
+        areas=np.asarray(area),
+        verdicts=np.asarray(verdict),
+    )
+
+
+def inspect_units(
+    crops: np.ndarray | jnp.ndarray,
+    seg: SegmentationParams,
+    defect: DefectParams,
+    exclusions=(),
+    ref_centroids=None,
+    is_reference: bool = True,
+) -> tuple[SegmentationResult, InspectionResult]:
+    """Full inspection: segmentation pass + defect pass + X/O verdicts
+    (run_inspection parity, indexing_ui.py:1634-1709)."""
+    seg_res = segment_units(
+        crops,
+        seg,
+        exclusions=exclusions,
+        ref_centroids=ref_centroids,
+        is_reference=is_reference,
+    )
+    insp = detect_defects_batch(crops, seg_res.masks, defect)
+    return seg_res, insp

@@ -1,0 +1,121 @@
+"""Batched external-contour analysis: cv2 findContours/contourArea/
+drawContours(filled) parity without any sequential border tracing.
+
+Replaces the defect blob filter (indexing_ui.py:1540-1558):
+``findContours(RETR_EXTERNAL)`` + per-contour ``contourArea`` + filled
+``drawContours`` of the kept blobs. Three exact reductions make this fully
+data-parallel:
+
+1. **Fill regions.** Flood the border-connected background ("exterior",
+   ops.hole_fill); every 8-connected component of the complement is exactly
+   one top-level blob plus everything its external contour encloses (holes,
+   nested blobs) — the pixel set a filled drawContours would paint. By
+   digital Jordan duality (4-connected bg / 8-connected fg) each such
+   region contains exactly one top-level blob.
+
+2. **Top-level blob identification.** A fill region's raster-first pixel is
+   always foreground and is also the raster-first pixel of its top-level
+   blob, so with min-linear-index labels (ops.cc) a fg pixel is top-level
+   iff its fg-component label equals its fill-region label. Nested blobs
+   (skipped by RETR_EXTERNAL) drop out for free.
+
+3. **contourArea as a local sum.** The Green's-theorem area of the traced
+   external polygon decomposes over crack vertices (2x2 pixel windows):
+   each vertex contributes ``alpha(c) + beta(c)*vx + gamma(c)*vy`` where c
+   is the 3-state config (top-blob / exterior / other). The 81x3 table is
+   derived and exact-verified against cv2.contourArea in
+   tools/derive_contour_table.py; sums are snapped to the nearest half
+   (contourArea is always a half-integer).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_inspect.ops import cc
+from tpu_inspect.ops._contour_table import CONTOUR_TABLE
+from tpu_inspect.ops.hole_fill import exterior_background
+
+
+@dataclass
+class BlobAnalysis:
+    """Per-unit top-level blob decomposition (device arrays)."""
+
+    fill_labels: jnp.ndarray  # [U, H, W] int32 root per fill region (BIG on ext)
+    fill_mask: jnp.ndarray  # [U, H, W] bool (~exterior)
+    contour_area: jnp.ndarray  # [U, H*W] f64 contourArea per root (0 elsewhere)
+    is_root: jnp.ndarray  # [U, H*W] bool marks valid top-level blob roots
+
+
+def analyze_blobs(fg: jnp.ndarray) -> BlobAnalysis:
+    """fg: [U, H, W] bool candidate mask -> per-blob contour areas."""
+    u, h, w = fg.shape
+    hw = h * w
+    ext = exterior_background(fg)
+    fill = ~ext
+    fill_labels = cc.label_components(fill)
+    fg_labels = cc.label_components(fg)
+    top = fg & (fg_labels == fill_labels)
+
+    # 3-state map padded with exterior (out-of-image is exterior)
+    state = jnp.where(top, jnp.int32(2), jnp.where(ext, jnp.int32(1), jnp.int32(0)))
+    sp = jnp.pad(state, ((0, 0), (1, 1), (1, 1)), constant_values=1)
+    s00 = sp[:, :-1, :-1]
+    s01 = sp[:, :-1, 1:]
+    s10 = sp[:, 1:, :-1]
+    s11 = sp[:, 1:, 1:]
+    cfg = s00 + 3 * s01 + 9 * s10 + 27 * s11  # [U, H+1, W+1]
+
+    table = jnp.asarray(CONTOUR_TABLE)  # [81, 3] f64
+    alpha = table[:, 0][cfg]
+    beta = table[:, 1][cfg]
+    gamma = table[:, 2][cfg]
+    vx = jax.lax.broadcasted_iota(jnp.int32, cfg.shape, 2).astype(jnp.float64)
+    vy = jax.lax.broadcasted_iota(jnp.int32, cfg.shape, 1).astype(jnp.float64)
+    contrib = alpha + beta * vx + gamma * vy
+
+    # attribute each vertex to the top-blob root present in its 2x2 window
+    lab_top = jnp.where(top, fill_labels, jnp.int32(-1))
+    lp = jnp.pad(lab_top, ((0, 0), (1, 1), (1, 1)), constant_values=-1)
+    attr = jnp.maximum(
+        jnp.maximum(lp[:, :-1, :-1], lp[:, :-1, 1:]),
+        jnp.maximum(lp[:, 1:, :-1], lp[:, 1:, 1:]),
+    )
+
+    nv = (h + 1) * (w + 1)
+    attr_flat = attr.reshape(u, nv)
+    contrib_flat = contrib.reshape(u, nv)
+    idx = jnp.where(attr_flat >= 0, attr_flat, hw)  # spill bucket
+    sums = jnp.zeros((u, hw + 1), dtype=jnp.float64)
+    sums = sums.at[jnp.arange(u)[:, None], idx].add(contrib_flat)
+    # snap to the half-integer grid (raw fp error is ~1e-9 at crop scale)
+    areas = jnp.rint(sums[:, :hw] * 2.0) / 2.0
+
+    is_root = jnp.zeros((u, hw + 1), dtype=bool)
+    root_idx = jnp.where(top.reshape(u, hw), fill_labels.reshape(u, hw), hw)
+    is_root = is_root.at[jnp.arange(u)[:, None], root_idx].set(True)[:, :hw]
+    return BlobAnalysis(
+        fill_labels=fill_labels,
+        fill_mask=fill,
+        contour_area=areas,
+        is_root=is_root,
+    )
+
+
+def select_blobs(analysis: BlobAnalysis, keep: jnp.ndarray) -> jnp.ndarray:
+    """keep: [U, H*W] bool per root -> filled output mask [U, H, W] bool.
+
+    Output pixels are entire fill regions (blob + enclosed holes/nested
+    content), matching filled drawContours of the external polygon.
+    """
+    u, h, w = analysis.fill_mask.shape
+    hw = h * w
+    lab_flat = jnp.where(
+        analysis.fill_mask.reshape(u, hw), analysis.fill_labels.reshape(u, hw), 0
+    )
+    kept_px = jnp.take_along_axis(keep, lab_flat, axis=1)
+    return (kept_px & analysis.fill_mask.reshape(u, hw)).reshape(u, h, w)

@@ -1,0 +1,107 @@
+"""Thresholding ops: Otsu, adaptive-Gaussian, plain binary (OpenCV parity).
+
+Otsu (cv2.threshold THRESH_OTSU, segmentation.py:82) is reproduced by
+replicating OpenCV's getThreshVal_Otsu_8u recurrence *exactly* in float64,
+including its FLT_EPSILON guard branches and first-maximum tie-break. The
+scan runs vectorized over the unit batch (256 steps of [U]-wide f64 math —
+negligible cost, and f64 keeps every intermediate identical to OpenCV's
+double-precision loop).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_FLT_EPSILON = 1.1920928955078125e-07  # FLT_EPSILON, as used by OpenCV
+
+
+def histogram_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-unit 256-bin histogram. x: [U, H, W] uint8 -> [U, 256] int32."""
+    u = x.shape[0]
+    flat = x.reshape(u, -1).astype(jnp.int32)
+    # one-hot accumulate; [U, HW] x [256] compare — vectorizes on the VPU
+    bins = jnp.arange(256, dtype=jnp.int32)
+    return (flat[:, :, None] == bins[None, None, :]).sum(axis=1, dtype=jnp.int32)
+
+
+def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-unit Otsu threshold. x: [U, H, W] uint8 -> [U] int32.
+
+    Exact replication of OpenCV getThreshVal_Otsu_8u: ``mu`` accumulated as
+    an exact integer then scaled once; per-bin recurrence
+    ``mu1 *= q1; q1 += p_i`` with the epsilon guard *skipping* the
+    normalization (so mu1 stays in its un-normalized state on guarded bins,
+    exactly like the reference's ``continue``); strict ``sigma > max_sigma``
+    keeps the first maximum. Uniform images yield threshold 0.
+    """
+    hist = histogram_u8(x)  # [U, 256]
+    u = hist.shape[0]
+    n = x.shape[-2] * x.shape[-1]
+    scale = jnp.float64(1.0) / jnp.float64(n)
+    bins = jnp.arange(256, dtype=jnp.float64)
+    mu_raw = (hist.astype(jnp.float64) * bins[None, :]).sum(axis=1)
+    mu = mu_raw * scale  # one rounding, like OpenCV's  mu *= scale
+
+    def step(carry, i):
+        q1, mu1, max_sigma, max_val = carry
+        h_i = hist[:, i].astype(jnp.float64)
+        p_i = h_i * scale
+        mu1 = mu1 * q1  # old q1 (un-normalize)
+        q1 = q1 + p_i
+        q2 = 1.0 - q1
+        guard = (jnp.minimum(q1, q2) < _FLT_EPSILON) | (
+            jnp.maximum(q1, q2) > 1.0 - _FLT_EPSILON
+        )
+        i_f = i.astype(jnp.float64)
+        mu1_new = (mu1 + i_f * p_i) / q1
+        mu2 = (mu - q1 * mu1_new) / q2
+        d = mu1_new - mu2
+        sigma = q1 * q2 * d * d
+        mu1 = jnp.where(guard, mu1, mu1_new)
+        better = (~guard) & (sigma > max_sigma)
+        max_sigma = jnp.where(better, sigma, max_sigma)
+        max_val = jnp.where(better, i, max_val)
+        return (q1, mu1, max_sigma, max_val), None
+
+    zeros = jnp.zeros((u,), dtype=jnp.float64)
+    init = (zeros, zeros, zeros, jnp.zeros((u,), dtype=jnp.int32))
+    (q1, mu1, max_sigma, max_val), _ = jax.lax.scan(
+        step, init, jnp.arange(256, dtype=jnp.int32)
+    )
+    return max_val
+
+
+def threshold_binary_inv(x: jnp.ndarray, thr: jnp.ndarray) -> jnp.ndarray:
+    """THRESH_BINARY_INV: 255 where x <= thr. thr broadcasts over [U]."""
+    t = jnp.asarray(thr, dtype=jnp.int32)
+    while t.ndim < x.ndim:
+        t = t[..., None]
+    return jnp.where(x.astype(jnp.int32) <= t, jnp.uint8(255), jnp.uint8(0))
+
+
+def threshold_binary(x: jnp.ndarray, thr) -> jnp.ndarray:
+    """THRESH_BINARY: 255 where x > thr."""
+    return jnp.where(
+        x.astype(jnp.int32) > jnp.int32(thr), jnp.uint8(255), jnp.uint8(0)
+    )
+
+
+def otsu_binary_inv(x: jnp.ndarray) -> jnp.ndarray:
+    """cv2.threshold(x, 0, 255, THRESH_BINARY_INV + THRESH_OTSU) per unit."""
+    return threshold_binary_inv(x, otsu_threshold(x))
+
+
+def adaptive_threshold_inv(
+    x: jnp.ndarray, block_size: int, C: int
+) -> jnp.ndarray:
+    """cv2.adaptiveThreshold(GAUSSIAN_C, BINARY_INV): 255 where x <= mean - C.
+
+    OpenCV's lookup-table formulation is ``255 iff src - mean <= -ceil(C)``
+    with the uint8 Gaussian mean (see ops.gaussian.adaptive_gaussian_mean).
+    """
+    from tpu_inspect.ops.gaussian import adaptive_gaussian_mean
+
+    mean = adaptive_gaussian_mean(x, block_size).astype(jnp.int32)
+    diff = x.astype(jnp.int32) - mean
+    return jnp.where(diff <= -int(C), jnp.uint8(255), jnp.uint8(0))
