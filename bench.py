@@ -1,0 +1,118 @@
+"""Benchmark: full-grid 4096x3000 segmentation + defect + verdicts.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <TPU ms/image>, "unit": "ms", "vs_baseline": <speedup>}
+
+- TPU path: the fused single-roundtrip pipeline (tpu_inspect.engine
+  ._inspect_image_device) on the reference sample workload (48 units of
+  316x315 on a 4096x3000 mold image), steady-state median over N runs with
+  the image device-resident and verdicts read back each run.
+- Baseline: the reference's per-unit OpenCV chain (tpu_inspect.oracle) on
+  one CPU core (cv2.setNumThreads(1)) — the exact call sequence of
+  run_segmentation_all + run_inspection (indexing_ui.py:2203-2368,
+  :1634-1709).
+
+Extra diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import cv2
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_inspect.config import DefectParams, SegmentationParams
+    from tpu_inspect.engine import _inspect_image_device, pack_exclusions
+    from tpu_inspect.geometry import grid_origins
+    from tpu_inspect import oracle
+    from tpu_inspect.synthetic import crop_units, make_mold_image, sample_grid_params
+
+    grid = sample_grid_params()
+    image = make_mold_image(grid, (3000, 4096), seed=0, defect_rate=0.3)
+    origins = grid_origins(grid)
+    u = origins.shape[0]
+    exclusions = [{"shape": "circle", "cx": 160, "cy": 160, "r": 30}]
+    rects, circles = pack_exclusions(exclusions)
+    seg = SegmentationParams().validated()
+    defect = DefectParams().validated()
+
+    # ---- CPU baseline (1 core, OpenCV chain) ----
+    cv2.setNumThreads(1)
+    crops = crop_units(image, grid)
+    t0 = time.perf_counter()
+    ref_masks, _, _ = oracle.segment_all_units(crops, seg, exclusions=exclusions)
+    _, ref_areas, ref_verdicts = oracle.inspect_units(crops, ref_masks, defect)
+    cpu_ms = (time.perf_counter() - t0) * 1000.0
+    log(f"CPU baseline (1 core, OpenCV): {cpu_ms:.1f} ms/image")
+
+    # ---- TPU fused pipeline ----
+    dev_image = jnp.asarray(image)
+    args = (
+        dev_image,
+        jnp.asarray(origins),
+        jnp.asarray(rects),
+        jnp.asarray(circles),
+        jnp.zeros((u, 2), dtype=jnp.float64),
+        jnp.zeros((u,), dtype=bool),
+    )
+    kw = dict(
+        seg=seg,
+        defect=defect,
+        is_reference=True,
+        unit_hw=(315, 316),
+        with_defects=True,
+    )
+
+    def run():
+        out = _inspect_image_device(*args, **kw)
+        jax.block_until_ready(out)
+        return out
+
+    t0 = time.perf_counter()
+    out = run()
+    log(f"compile+first run: {time.perf_counter() - t0:.1f} s on {jax.devices()[0]}")
+
+    # correctness gate: the benchmark only counts if parity holds
+    masks = np.asarray(out[0])
+    verdicts = np.asarray(out[4][3])
+    areas = np.asarray(out[4][2])
+    iou_exact = bool((masks == ref_masks).all())
+    verdict_ok = bool((verdicts == ref_verdicts).all() and (areas == ref_areas).all())
+    log(f"parity: masks_exact={iou_exact} verdicts_exact={verdict_ok} "
+        f"NG={int(verdicts.sum())}/{u}")
+
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        run()
+        times.append((time.perf_counter() - t0) * 1000.0)
+    tpu_ms = float(np.median(times))
+    log(f"TPU steady-state: median {tpu_ms:.2f} ms (min {min(times):.2f}, "
+        f"max {max(times):.2f})")
+
+    value = tpu_ms if (iou_exact and verdict_ok) else float("inf")
+    print(
+        json.dumps(
+            {
+                "metric": "full_grid_4096x3000_seg_defect_ms_per_image",
+                "value": round(value, 3),
+                "unit": "ms",
+                "vs_baseline": round(cpu_ms / value, 2) if value > 0 else 0.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

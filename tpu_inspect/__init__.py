@@ -21,9 +21,22 @@ primitive on the hot path is re-implemented bit-exactly on device (see
 # and centroid reductions (OpenCV computes both in double). Must run before
 # any JAX computation. All dtypes in this package are explicit, so enabling
 # x64 does not silently change any op's precision.
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: first compile of the fused pipeline is slow
+# (tens of seconds; worse through remote-compile tunnels), so cache it.
+_cache_dir = _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/jax_tpu_inspect")
+)
+try:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # very old jax without the cache config
+    pass
 
 __version__ = "0.1.0"
 

@@ -1,0 +1,182 @@
+"""Headless CLI — the engine's button handlers without the buttons.
+
+Replaces the reference's UI-driven flows with commands:
+
+  python -m tpu_inspect.cli segment  --grid grid.json --image mold.tif --out out/
+  python -m tpu_inspect.cli inspect  --grid grid.json --image a.tif b.tif --out out/
+  python -m tpu_inspect.cli gridgen  --base 251,232,316,315 --units 4x6 \
+      --blocks 2x1 --unit-space 133,136 --block-space 252,0 --out grid.json
+  python -m tpu_inspect.cli bench
+
+`inspect` treats the first image as the reference capture (anchors recorded)
+and later images as production captures (exclusions re-aligned), matching
+the reference's multi-image workflow.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _parse_pair(s: str, sep: str) -> tuple[int, int]:
+    a, b = s.split(sep)
+    return int(a), int(b)
+
+
+def _seg_params(args):
+    from tpu_inspect.config import SegmentationParams
+
+    return SegmentationParams(
+        method=args.seg_method,
+        gaussian_blur=args.gaussian_blur,
+        morph_kernel=args.morph_kernel,
+        adapt_block=args.adapt_block,
+        adapt_C=args.adapt_c,
+    )
+
+
+def _defect_params(args):
+    from tpu_inspect.config import DefectParams
+
+    return DefectParams(
+        method=args.defect_method,
+        threshold=args.threshold,
+        min_area=args.min_area,
+        erode_px=args.erode_px,
+    )
+
+
+def _add_param_flags(p):
+    p.add_argument("--seg-method", choices=["otsu", "adaptive"], default="otsu")
+    p.add_argument("--gaussian-blur", type=int, default=3)
+    p.add_argument("--morph-kernel", type=int, default=3)
+    p.add_argument("--adapt-block", type=int, default=51)
+    p.add_argument("--adapt-c", type=int, default=10)
+    p.add_argument("--defect-method", choices=["threshold", "canny"], default="threshold")
+    p.add_argument("--threshold", type=int, default=24)
+    p.add_argument("--min-area", type=int, default=20)
+    p.add_argument("--erode-px", type=int, default=6)
+
+
+def cmd_gridgen(args):
+    from tpu_inspect.config import GridParams
+    from tpu_inspect.geometry import grid_boxes
+    from tpu_inspect.persistence import GridDocument, grid_metadata, save_grid
+
+    bx, by, bw, bh = (int(v) for v in args.base.split(","))
+    ux, uy = _parse_pair(args.units, "x")
+    blx, bly = _parse_pair(args.blocks, "x")
+    sux, suy = _parse_pair(args.unit_space, ",")
+    sbx, sby = _parse_pair(args.block_space, ",")
+    grid = GridParams(
+        base_unit=(bx, by, bw, bh),
+        units_x=ux, units_y=uy, blocks_x=blx, blocks_y=bly,
+        unit_space_x=sux, unit_space_y=suy,
+        block_space_x=sbx, block_space_y=sby,
+    )
+    iw, ih = (None, None)
+    if args.image_size:
+        iw, ih = _parse_pair(args.image_size, "x")
+    doc = GridDocument(
+        boxes=grid_boxes(grid), metadata=grid_metadata(grid, iw, ih)
+    )
+    save_grid(doc, args.out)
+    print(f"wrote {len(doc.boxes)} boxes to {args.out}")
+
+
+def _load_session(args):
+    from tpu_inspect.session import InspectionSession
+
+    sess = InspectionSession(
+        seg_params=_seg_params(args), defect_params=_defect_params(args)
+    )
+    for path in args.image:
+        sess.add_image(path)
+    sess.switch_to(args.image[0])
+    n = sess.import_grid(args.grid)
+    print(f"grid: {n} units; reference image: {args.image[0]}", file=sys.stderr)
+    return sess
+
+
+def cmd_segment(args):
+    sess = _load_session(args)
+    sess.run_segmentation()
+    if args.out:
+        csv_path = sess.export_masks(args.out)
+        print(f"masks + {csv_path} written")
+
+
+def cmd_inspect(args):
+    sess = _load_session(args)
+    report = {}
+    for path in args.image:
+        sess.switch_to(path)
+        insp = sess.run_inspection()
+        report[path] = {
+            "ng_units": [int(i) for i in np.nonzero(insp.verdicts)[0]],
+            "ng_count": int(insp.verdicts.sum()),
+            "unit_count": int(insp.verdicts.shape[0]),
+            "areas": {
+                str(i): int(a)
+                for i, a in enumerate(insp.areas)
+                if insp.valid[i]
+            },
+        }
+        print(
+            f"{path}: {report[path]['ng_count']}/{report[path]['unit_count']} units NG",
+            file=sys.stderr,
+        )
+        if args.out:
+            img_dir = os.path.join(
+                args.out, os.path.splitext(os.path.basename(path))[0]
+            )
+            sess.export_masks(img_dir)
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        with open(os.path.join(args.out, "inspection.json"), "w") as f:
+            json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tpu-inspect")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gridgen", help="generate a grid JSON from indexing params")
+    g.add_argument("--base", required=True, help="x,y,w,h of the base unit")
+    g.add_argument("--units", default="1x1")
+    g.add_argument("--blocks", default="1x1")
+    g.add_argument("--unit-space", default="0,0")
+    g.add_argument("--block-space", default="0,0")
+    g.add_argument("--image-size", default=None, help="WxH")
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=cmd_gridgen)
+
+    for name, fn in [("segment", cmd_segment), ("inspect", cmd_inspect)]:
+        p = sub.add_parser(name)
+        p.add_argument("--grid", required=True)
+        p.add_argument("--image", nargs="+", required=True)
+        p.add_argument("--out", default=None)
+        _add_param_flags(p)
+        p.set_defaults(fn=fn)
+
+    b = sub.add_parser("bench", help="run the standard benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -273,17 +273,19 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
     analysis = contour.analyze_blobs(cand > 0)
 
     # area filter (indexing_ui.py:1542-1558): Python int() truncation of
-    # roi_area * 0.98 computed in double
-    min_area = jnp.float64(int(params.min_area))
+    # roi_area * 0.98 computed in double; comparisons run on exact 2x-areas
+    min_area = int(params.min_area)
     roi_area = roi.sum(axis=(1, 2), dtype=jnp.int32)
     max_area = jnp.maximum(
-        min_area,
-        jnp.floor(roi_area.astype(jnp.float64) * jnp.float64(params.max_area_frac)),
+        jnp.int32(min_area),
+        jnp.floor(
+            roi_area.astype(jnp.float64) * jnp.float64(params.max_area_frac)
+        ).astype(jnp.int32),
     )
     keep = (
         analysis.is_root
-        & (analysis.contour_area >= min_area)
-        & (analysis.contour_area <= max_area[:, None])
+        & (analysis.contour_area_x2 >= 2 * min_area)
+        & (analysis.contour_area_x2 <= 2 * max_area[:, None])
     )
     found = keep.any(axis=1) & ~roi_empty
     out = contour.select_blobs(analysis, keep)
@@ -333,4 +335,119 @@ def inspect_units(
         is_reference=is_reference,
     )
     insp = detect_defects_batch(crops, seg_res.masks, defect)
+    return seg_res, insp
+
+
+# ---------------------------------------------------------------------------
+# Full-image fused pipeline (crop gather + segmentation + defects, one jit)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("seg", "defect", "is_reference", "unit_hw", "with_defects"),
+)
+def _inspect_image_device(
+    image,
+    origins,
+    rects,
+    circles,
+    ref_centroids,
+    ref_valid,
+    *,
+    seg: SegmentationParams,
+    defect: DefectParams,
+    is_reference: bool,
+    unit_hw: tuple[int, int],
+    with_defects: bool,
+):
+    from tpu_inspect.imageio import gather_crops
+
+    crops = gather_crops(image, origins, unit_hw=unit_hw)
+    seg_out = _segment_device(
+        crops,
+        rects,
+        circles,
+        ref_centroids,
+        ref_valid,
+        seg=seg,
+        is_reference=is_reference,
+        shape_hw=unit_hw,
+    )
+    if not with_defects:
+        return seg_out + (None,)
+    masks = seg_out[0]
+    defect_out = _defect_device(crops, masks, params=defect)
+    return seg_out + (defect_out,)
+
+
+def inspect_image(
+    image: np.ndarray | jnp.ndarray,
+    grid,
+    seg: SegmentationParams,
+    defect: DefectParams | None = None,
+    exclusions=(),
+    ref_centroids=None,
+    is_reference: bool = True,
+) -> tuple[SegmentationResult, InspectionResult | None]:
+    """Full-image inspection: one device roundtrip from the raw grayscale
+    image to per-unit masks, defect blobs, and X/O verdicts.
+
+    This is the TPU-native replacement for the whole
+    run_segmentation_all + run_inspection stack (indexing_ui.py:2203-2368,
+    :1634-1709): crop gather, segmentation, exclusion alignment, defect
+    detection and verdicts fused into a single jitted program.
+    """
+    from tpu_inspect.geometry import grid_origins
+
+    image = jnp.asarray(image, dtype=jnp.uint8)
+    origins = jnp.asarray(grid_origins(grid))
+    u = origins.shape[0]
+    _, _, w, h = grid.base_unit
+    rects, circles = pack_exclusions(exclusions)
+
+    if isinstance(ref_centroids, dict):
+        arr = np.zeros((u, 2), dtype=np.float64)
+        valid = np.zeros((u,), dtype=bool)
+        for k, v in ref_centroids.items():
+            if 0 <= int(k) < u:
+                arr[int(k)] = (float(v[0]), float(v[1]))
+                valid[int(k)] = True
+        ref_arr, ref_ok = arr, valid
+    elif ref_centroids is None:
+        ref_arr = np.zeros((u, 2), dtype=np.float64)
+        ref_ok = np.zeros((u,), dtype=bool)
+    else:
+        ref_arr = np.asarray(ref_centroids, dtype=np.float64)
+        ref_ok = np.ones((u,), dtype=bool)
+
+    out = _inspect_image_device(
+        image,
+        origins,
+        jnp.asarray(rects),
+        jnp.asarray(circles),
+        jnp.asarray(ref_arr),
+        jnp.asarray(ref_ok),
+        seg=seg.validated(),
+        defect=(defect or DefectParams()).validated(),
+        is_reference=bool(is_reference),
+        unit_hw=(h, w),
+        with_defects=defect is not None,
+    )
+    mask, centroid, has_fg, shifts, defect_out = out
+    seg_res = SegmentationResult(
+        masks=np.asarray(mask),
+        centroids=np.asarray(centroid),
+        centroid_valid=np.asarray(has_fg),
+        shifts=np.asarray(shifts),
+    )
+    if defect_out is None:
+        return seg_res, None
+    dmasks, found, area, verdict = defect_out
+    insp = InspectionResult(
+        defect_masks=np.asarray(dmasks),
+        valid=np.asarray(found),
+        areas=np.asarray(area),
+        verdicts=np.asarray(verdict),
+    )
     return seg_res, insp

@@ -21,11 +21,13 @@ data-parallel:
 
 3. **contourArea as a local sum.** The Green's-theorem area of the traced
    external polygon decomposes over crack vertices (2x2 pixel windows):
-   each vertex contributes ``alpha(c) + beta(c)*vx + gamma(c)*vy`` where c
-   is the 3-state config (top-blob / exterior / other). The 81x3 table is
-   derived and exact-verified against cv2.contourArea in
-   tools/derive_contour_table.py; sums are snapped to the nearest half
-   (contourArea is always a half-integer).
+   twice the area contribution of a vertex is the exact small-integer form
+   ``alpha2(c) + beta2(c)*vx + gamma2(c)*vy`` where c is the 3-state config
+   (top-blob / exterior / other). The 81x3 integer table is derived
+   constructively by crack-boundary walking in
+   tools/derive_contour_table_exact.py and validated bit-exactly against
+   cv2 contours; per-blob 2x-areas are exact int32 scatter sums — the
+   entire contour analysis is integer arithmetic.
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_inspect.ops import cc
-from tpu_inspect.ops._contour_table import CONTOUR_TABLE
+from tpu_inspect.ops._contour_table import CONTOUR_TABLE_X2
 from tpu_inspect.ops.hole_fill import exterior_background
 
 
@@ -47,8 +49,13 @@ class BlobAnalysis:
 
     fill_labels: jnp.ndarray  # [U, H, W] int32 root per fill region (BIG on ext)
     fill_mask: jnp.ndarray  # [U, H, W] bool (~exterior)
-    contour_area: jnp.ndarray  # [U, H*W] f64 contourArea per root (0 elsewhere)
+    contour_area_x2: jnp.ndarray  # [U, H*W] int32: 2*contourArea per root
     is_root: jnp.ndarray  # [U, H*W] bool marks valid top-level blob roots
+
+    @property
+    def contour_area(self) -> jnp.ndarray:
+        """cv2.contourArea per root as float (areas are half-integers)."""
+        return self.contour_area_x2.astype(jnp.float64) * 0.5
 
 
 def analyze_blobs(fg: jnp.ndarray) -> BlobAnalysis:
@@ -70,13 +77,13 @@ def analyze_blobs(fg: jnp.ndarray) -> BlobAnalysis:
     s11 = sp[:, 1:, 1:]
     cfg = s00 + 3 * s01 + 9 * s10 + 27 * s11  # [U, H+1, W+1]
 
-    table = jnp.asarray(CONTOUR_TABLE)  # [81, 3] f64
-    alpha = table[:, 0][cfg]
-    beta = table[:, 1][cfg]
-    gamma = table[:, 2][cfg]
-    vx = jax.lax.broadcasted_iota(jnp.int32, cfg.shape, 2).astype(jnp.float64)
-    vy = jax.lax.broadcasted_iota(jnp.int32, cfg.shape, 1).astype(jnp.float64)
-    contrib = alpha + beta * vx + gamma * vy
+    table = jnp.asarray(CONTOUR_TABLE_X2)  # [81, 3] int32
+    alpha2 = table[:, 0][cfg]
+    beta2 = table[:, 1][cfg]
+    gamma2 = table[:, 2][cfg]
+    vx = jax.lax.broadcasted_iota(jnp.int32, cfg.shape, 2)
+    vy = jax.lax.broadcasted_iota(jnp.int32, cfg.shape, 1)
+    contrib = alpha2 + beta2 * vx + gamma2 * vy  # int32, exact
 
     # attribute each vertex to the top-blob root present in its 2x2 window
     lab_top = jnp.where(top, fill_labels, jnp.int32(-1))
@@ -90,18 +97,18 @@ def analyze_blobs(fg: jnp.ndarray) -> BlobAnalysis:
     attr_flat = attr.reshape(u, nv)
     contrib_flat = contrib.reshape(u, nv)
     idx = jnp.where(attr_flat >= 0, attr_flat, hw)  # spill bucket
-    sums = jnp.zeros((u, hw + 1), dtype=jnp.float64)
-    sums = sums.at[jnp.arange(u)[:, None], idx].add(contrib_flat)
-    # snap to the half-integer grid (raw fp error is ~1e-9 at crop scale)
-    areas = jnp.rint(sums[:, :hw] * 2.0) / 2.0
+    sums = jnp.zeros((u, hw + 1), dtype=jnp.int32)
+    u_idx = jnp.arange(u, dtype=jnp.int32)[:, None]
+    sums = sums.at[u_idx, idx].add(contrib_flat)
+    areas_x2 = jnp.abs(sums[:, :hw])  # contourArea takes |signed area|
 
     is_root = jnp.zeros((u, hw + 1), dtype=bool)
     root_idx = jnp.where(top.reshape(u, hw), fill_labels.reshape(u, hw), hw)
-    is_root = is_root.at[jnp.arange(u)[:, None], root_idx].set(True)[:, :hw]
+    is_root = is_root.at[u_idx, root_idx].set(True)[:, :hw]
     return BlobAnalysis(
         fill_labels=fill_labels,
         fill_mask=fill,
-        contour_area=areas,
+        contour_area_x2=areas_x2,
         is_root=is_root,
     )
 
