@@ -112,17 +112,21 @@ def raw_segment(crops: jnp.ndarray, seg: SegmentationParams) -> jnp.ndarray:
     """Pre-exclusion segmentation chain (segment_cell parity, segmentation.py:75-100)."""
     x = crops
     if seg.gaussian_blur and seg.gaussian_blur > 0:
-        x = gaussian_blur_u8(x, as_odd(seg.gaussian_blur))
-    if seg.method == "adaptive":
-        bs = max(3, int(seg.adapt_block) | 1)
-        mask = threshold.adaptive_threshold_inv(x, bs, int(seg.adapt_C))
-    else:
-        mask = threshold.otsu_binary_inv(x)
+        with jax.named_scope("gauss"):
+            x = gaussian_blur_u8(x, as_odd(seg.gaussian_blur))
+    with jax.named_scope("thresh"):
+        if seg.method == "adaptive":
+            bs = max(3, int(seg.adapt_block) | 1)
+            mask = threshold.adaptive_threshold_inv(x, bs, int(seg.adapt_C))
+        else:
+            mask = threshold.otsu_binary_inv(x)
     if seg.morph_kernel and seg.morph_kernel > 0:
-        se = morphology.ellipse_se(max(1, int(seg.morph_kernel)))
-        mask = morphology.morph_close(mask, se)
-        mask = morphology.morph_open(mask, se)
-    return hole_fill.fill_holes(mask)
+        with jax.named_scope("morph"):
+            se = morphology.ellipse_se(max(1, int(seg.morph_kernel)))
+            mask = morphology.morph_close(mask, se)
+            mask = morphology.morph_open(mask, se)
+    with jax.named_scope("holefill"):
+        return hole_fill.fill_holes(mask)
 
 
 @functools.partial(
@@ -141,7 +145,8 @@ def _segment_device(
 ):
     mask = raw_segment(crops, seg)
     pre_excl = mask > 0
-    _, _, centroid, has_fg = cc.largest_component(pre_excl)
+    with jax.named_scope("seg_centroid"):
+        _, _, centroid, has_fg = cc.largest_component(pre_excl)
 
     u = crops.shape[0]
     if is_reference:
@@ -251,7 +256,8 @@ def defect_roi(seg_masks: jnp.ndarray, erode_px: int):
 @functools.partial(jax.jit, static_argnames=("params",))
 def _defect_device(crops, seg_masks, *, params: DefectParams):
     u, h, w = crops.shape
-    roi, roi_empty = defect_roi(seg_masks, int(params.erode_px))
+    with jax.named_scope("defect_roi"):
+        roi, roi_empty = defect_roi(seg_masks, int(params.erode_px))
 
     thr = int(params.threshold)
     if params.method == "threshold":
@@ -259,18 +265,21 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
         k = int(params.median_k)
         if k % 2 == 0:
             k += 1
-        bg = median.median_blur_u8(crops, k)
+        with jax.named_scope("median_bg"):
+            bg = median.median_blur_u8(crops, k)
         resid = jnp.abs(crops.astype(jnp.int32) - bg.astype(jnp.int32))
         cand = threshold.threshold_binary(resid, thr)
         cand = jnp.where(roi, cand, jnp.uint8(0))
-        cand = morphology.morph_open(cand, morphology.ellipse_se(3))
+        with jax.named_scope("cand_open"):
+            cand = morphology.morph_open(cand, morphology.ellipse_se(3))
     else:
         from tpu_inspect.ops import canny as canny_op
 
         edges = canny_op.canny_u8(crops, max(1, thr // 2), max(2, thr))
         cand = jnp.where(roi, edges, jnp.uint8(0))
 
-    analysis = contour.analyze_blobs(cand > 0)
+    with jax.named_scope("analyze_blobs"):
+        analysis = contour.analyze_blobs(cand > 0)
 
     # area filter (indexing_ui.py:1542-1558): Python int() truncation of
     # roi_area * 0.98 computed in double; comparisons run on exact 2x-areas
@@ -288,12 +297,13 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
         & (analysis.contour_area_x2 <= 2 * max_area[:, None])
     )
     found = keep.any(axis=1) & ~roi_empty
-    out = contour.select_blobs(analysis, keep)
+    with jax.named_scope("select_blobs"):
+        out = contour.select_blobs(analysis, keep)
     out = jnp.where(found[:, None, None], out, False)
-    area = out.sum(axis=(1, 2), dtype=jnp.int64)
+    area = out.sum(axis=(1, 2), dtype=jnp.int32)
     # verdict: NG iff defect area >= min area; None mask => OK
     # (indexing_ui.py:1686-1700)
-    verdict = found & (area >= jnp.int64(int(params.min_area)))
+    verdict = found & (area >= jnp.int32(int(params.min_area)))
     return jnp.where(out, jnp.uint8(255), jnp.uint8(0)), found, area, verdict
 
 
@@ -363,7 +373,12 @@ def _inspect_image_device(
 ):
     from tpu_inspect.imageio import gather_crops
 
-    crops = gather_crops(image, origins, unit_hw=unit_hw)
+    # Barrier: without it XLA fuses the big-image gather into downstream
+    # loop bodies (median scan, CC/flood fixpoints) and recomputes the
+    # slice every iteration — a ~10x pipeline regression on TPU.
+    crops = jax.lax.optimization_barrier(
+        gather_crops(image, origins, unit_hw=unit_hw)
+    )
     seg_out = _segment_device(
         crops,
         rects,
@@ -376,7 +391,7 @@ def _inspect_image_device(
     )
     if not with_defects:
         return seg_out + (None,)
-    masks = seg_out[0]
+    masks = jax.lax.optimization_barrier(seg_out[0])
     defect_out = _defect_device(crops, masks, params=defect)
     return seg_out + (defect_out,)
 
@@ -447,7 +462,7 @@ def inspect_image(
     insp = InspectionResult(
         defect_masks=np.asarray(dmasks),
         valid=np.asarray(found),
-        areas=np.asarray(area),
+        areas=np.asarray(area, dtype=np.int64),
         verdicts=np.asarray(verdict),
     )
     return seg_res, insp

@@ -26,19 +26,46 @@ import numpy as np
 _BIG = np.int32(2**30)  # concrete (not traced): reduce_window needs a const init
 
 
+def _segment_ids(fg: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Run index along `axis`: increments at every background pixel."""
+    return jnp.cumsum((~fg).astype(jnp.int32), axis=axis)
+
+
 def _seg_cummin(vals: jnp.ndarray, fg: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Min-propagate along `axis` within contiguous fg runs (both directions)."""
+    """Min-propagate along `axis` within contiguous fg runs (both directions).
 
-    def op(a, b):
-        a_f, a_v = a
-        b_f, b_v = b
-        # flag: does the combined segment start fresh at b?
-        return a_f & b_f, jnp.where(b_f, jnp.minimum(a_v, b_v), b_v)
+    Segmented running min via ONE cummin per direction: keys are
+    ``val - seg_id * K`` with K a power of two larger than any value, so
+    keys from earlier runs are strictly larger than every key of the
+    current run and never win the prefix min. Background pixels carry the
+    value K-1 (the per-run maximum), so they cannot pollute the run that
+    follows them. Far cheaper than an associative_scan with a segmented
+    operator, which materializes O(log n) intermediates per sweep.
 
-    v = jnp.where(fg, vals, _BIG)
-    fwd = jax.lax.associative_scan((op), (fg, v), axis=axis)[1]
-    bwd = jax.lax.associative_scan((op), (fg, v), axis=axis, reverse=True)[1]
-    return jnp.where(fg, jnp.minimum(fwd, bwd), vals)
+    Stays in int32 when (axis_len + 1) * K < 2^31 (always true for unit
+    crops); falls back to int64 keys for whole-image-sized inputs.
+    """
+    n = vals.shape[axis]
+    hw = int(np.prod(vals.shape[1:])) if vals.ndim == 3 else n
+    k = 1 << max(2, int(np.ceil(np.log2(hw + 2))))
+    use_i64 = (n + 1) * k >= 2**31
+    dt = jnp.int64 if use_i64 else jnp.int32
+    kk = jnp.asarray(k, dtype=dt)
+
+    v = jnp.where(fg, vals, k - 1).astype(dt)
+
+    def directed(rev: bool):
+        ids = (
+            _segment_ids(fg, axis)
+            if not rev
+            else jnp.flip(_segment_ids(jnp.flip(fg, axis=axis), axis), axis=axis)
+        ).astype(dt)
+        key = v - ids * kk
+        m = jax.lax.cummin(key, axis=axis, reverse=rev)
+        return (m + ids * kk).astype(jnp.int32)
+
+    out = jnp.minimum(directed(False), directed(True))
+    return jnp.where(fg, jnp.minimum(out, vals), vals)
 
 
 def _nbhd_min(vals: jnp.ndarray) -> jnp.ndarray:
@@ -74,16 +101,39 @@ def label_components(fg: jnp.ndarray) -> jnp.ndarray:
     return labels
 
 
+
 def component_areas(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
-    """Per-root pixel counts. Returns [U, H*W] int32 (0 for non-roots)."""
+    """Per-root pixel counts. Returns [U, H*W] int32 (0 for non-roots).
+
+    Kept for completeness/tests; the hot paths use sorted run-length
+    reductions instead of scatter (see largest_component).
+    """
     u, h, w = labels.shape
     hw = h * w
     flat = labels.reshape(u, hw)
     fgf = fg.reshape(u, hw)
     idx = jnp.where(fgf, flat, hw)  # spill bucket for background
     areas = jnp.zeros((u, hw + 1), dtype=jnp.int32)
-    areas = areas.at[jnp.arange(u)[:, None], idx].add(1)
+    areas = areas.at[jnp.arange(u, dtype=jnp.int32)[:, None], idx].add(1)
     return areas[:, :hw]
+
+
+def _run_geometry(sorted_keys: jnp.ndarray):
+    """For an ascending-sorted key array [U, N]: per-position run-start
+    index, next-run-start index, and new-run flags (all scatter/gather
+    free)."""
+    u, n = sorted_keys.shape
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (u, n))
+    newrun = jnp.concatenate(
+        [jnp.ones((u, 1), bool), sorted_keys[:, 1:] != sorted_keys[:, :-1]], axis=1
+    )
+    run_start = jax.lax.cummax(jnp.where(newrun, idx, jnp.int32(-1)), axis=1)
+    starts_or_big = jnp.where(newrun, idx, jnp.int32(n))
+    rcm = jax.lax.cummin(starts_or_big, axis=1, reverse=True)
+    next_start = jnp.concatenate(
+        [rcm[:, 1:], jnp.full((u, 1), n, dtype=jnp.int32)], axis=1
+    )
+    return run_start, next_start, newrun
 
 
 def largest_component(fg: jnp.ndarray):
@@ -93,18 +143,38 @@ def largest_component(fg: jnp.ndarray):
     has_fg [U] bool). Centroid is the float64 mean of member coordinates,
     matching _largest_component_centroid (indexing_ui.py:2235-2248); it is
     (0, 0) when the unit has no foreground.
+
+    Implementation: sort the labels and reduce run lengths — TPU sorts are
+    several times cheaper than the big scatter-add a per-root histogram
+    would need. Area ties keep the smallest root (OpenCV's first-raster
+    component, matching np.argmax's first-maximum).
     """
     u, h, w = fg.shape
+    hw = h * w
     labels = label_components(fg)
-    areas = component_areas(labels, fg)
-    best = jnp.argmax(areas, axis=1).astype(jnp.int32)  # first max = min root
-    best_mask = fg & (labels == best[:, None, None])
-    area = jnp.take_along_axis(areas, best[:, None], axis=1)[:, 0]
+    flat = jnp.where(fg.reshape(u, hw), labels.reshape(u, hw), jnp.int32(hw))
+    s = jnp.sort(flat, axis=1)  # spill keys (hw) collect at the end
+    run_start, next_start, newrun = _run_geometry(s)
+    run_len = next_start - run_start
+    valid = newrun & (s < hw)
+    len_at_start = jnp.where(valid, run_len, 0)
+    max_len = len_at_start.max(axis=1)
+    is_best = valid & (run_len == max_len[:, None])
+    best_label = jnp.where(is_best, s, jnp.int32(hw)).min(axis=1)
+
+    best_mask = fg & (labels == best_label[:, None, None])
+    area = max_len
     xs = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 2)
     ys = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 1)
     cnt = jnp.maximum(area, 1).astype(jnp.float64)
-    cx = jnp.where(best_mask, xs, 0).sum(axis=(1, 2), dtype=jnp.float64) / cnt
-    cy = jnp.where(best_mask, ys, 0).sum(axis=(1, 2), dtype=jnp.float64) / cnt
+    # coordinate sums are exact integers; int32 when they provably fit,
+    # else int64 (single-unit whole-image crops). The f64 division then
+    # matches np.mean over exactly-representable integers bit for bit.
+    sum_dtype = jnp.int32 if max(h, w) * h * w < 2**31 else jnp.int64
+    sx = jnp.where(best_mask, xs, 0).sum(axis=(1, 2), dtype=sum_dtype)
+    sy = jnp.where(best_mask, ys, 0).sum(axis=(1, 2), dtype=sum_dtype)
+    cx = sx.astype(jnp.float64) / cnt
+    cy = sy.astype(jnp.float64) / cnt
     has_fg = fg.any(axis=(1, 2))
     centroid = jnp.stack([cx, cy], axis=-1)
     return best_mask, area, centroid, has_fg

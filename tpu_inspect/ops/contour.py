@@ -62,10 +62,13 @@ def analyze_blobs(fg: jnp.ndarray) -> BlobAnalysis:
     """fg: [U, H, W] bool candidate mask -> per-blob contour areas."""
     u, h, w = fg.shape
     hw = h * w
-    ext = exterior_background(fg)
+    with jax.named_scope("blob_exterior"):
+        ext = exterior_background(fg)
     fill = ~ext
-    fill_labels = cc.label_components(fill)
-    fg_labels = cc.label_components(fg)
+    with jax.named_scope("label_fill"):
+        fill_labels = cc.label_components(fill)
+    with jax.named_scope("label_fg"):
+        fg_labels = cc.label_components(fg)
     top = fg & (fg_labels == fill_labels)
 
     # 3-state map padded with exterior (out-of-image is exterior)
@@ -77,10 +80,23 @@ def analyze_blobs(fg: jnp.ndarray) -> BlobAnalysis:
     s11 = sp[:, 1:, 1:]
     cfg = s00 + 3 * s01 + 9 * s10 + 27 * s11  # [U, H+1, W+1]
 
-    table = jnp.asarray(CONTOUR_TABLE_X2)  # [81, 3] int32
-    alpha2 = table[:, 0][cfg]
-    beta2 = table[:, 1][cfg]
-    gamma2 = table[:, 2][cfg]
+    # Coefficient "lookup" as pure arithmetic: only 12 configs carry
+    # nonzero coefficients and every coefficient is -1/0/+1, so each of
+    # alpha2/beta2/gamma2 is a handful of equality compares — far cheaper
+    # on the VPU than three 81-entry gathers over [U, H+1, W+1].
+    tbl = np.asarray(CONTOUR_TABLE_X2)
+
+    def coef(col):
+        pos = np.nonzero(tbl[:, col] == 1)[0]
+        neg = np.nonzero(tbl[:, col] == -1)[0]
+        out = jnp.zeros(cfg.shape, dtype=jnp.int32)
+        for c in pos:
+            out = out + (cfg == int(c)).astype(jnp.int32)
+        for c in neg:
+            out = out - (cfg == int(c)).astype(jnp.int32)
+        return out
+
+    alpha2, beta2, gamma2 = coef(0), coef(1), coef(2)
     vx = jax.lax.broadcasted_iota(jnp.int32, cfg.shape, 2)
     vy = jax.lax.broadcasted_iota(jnp.int32, cfg.shape, 1)
     contrib = alpha2 + beta2 * vx + gamma2 * vy  # int32, exact
@@ -102,9 +118,10 @@ def analyze_blobs(fg: jnp.ndarray) -> BlobAnalysis:
     sums = sums.at[u_idx, idx].add(contrib_flat)
     areas_x2 = jnp.abs(sums[:, :hw])  # contourArea takes |signed area|
 
-    is_root = jnp.zeros((u, hw + 1), dtype=bool)
-    root_idx = jnp.where(top.reshape(u, hw), fill_labels.reshape(u, hw), hw)
-    is_root = is_root.at[u_idx, root_idx].set(True)[:, :hw]
+    # a root is a pixel whose label equals its own linear index — an
+    # elementwise compare, no scatter needed
+    lin = jnp.arange(hw, dtype=jnp.int32)[None, :]
+    is_root = top.reshape(u, hw) & (fill_labels.reshape(u, hw) == lin)
     return BlobAnalysis(
         fill_labels=fill_labels,
         fill_mask=fill,
@@ -118,11 +135,33 @@ def select_blobs(analysis: BlobAnalysis, keep: jnp.ndarray) -> jnp.ndarray:
 
     Output pixels are entire fill regions (blob + enclosed holes/nested
     content), matching filled drawContours of the external polygon.
+
+    Implementation: the kept roots are turned into 2D seed pixels (a root
+    IS its own linear position) and flood-propagated through their fill
+    regions — a couple of cheap sweep iterations instead of a per-pixel
+    [U, H*W] gather (TPU gathers at that size are ~100x slower).
     """
+    from tpu_inspect.ops.hole_fill import _axis_sweep
+
     u, h, w = analysis.fill_mask.shape
-    hw = h * w
-    lab_flat = jnp.where(
-        analysis.fill_mask.reshape(u, hw), analysis.fill_labels.reshape(u, hw), 0
-    )
-    kept_px = jnp.take_along_axis(keep, lab_flat, axis=1)
-    return (kept_px & analysis.fill_mask.reshape(u, hw)).reshape(u, h, w)
+    fill = analysis.fill_mask
+    seeds = (keep & analysis.is_root).reshape(u, h, w)
+
+    def dilate8(m):
+        p = jnp.pad(m, ((0, 0), (1, 1), (1, 1)))
+        return jax.lax.reduce_window(
+            p, False, jax.lax.bitwise_or, (1, 3, 3), (1, 1, 1), "VALID"
+        )
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        reach, _ = state
+        new = dilate8(reach) & fill
+        new = _axis_sweep(new, fill, axis=2)
+        new = _axis_sweep(new, fill, axis=1)
+        return new, (new != reach).any()
+
+    reach, _ = jax.lax.while_loop(cond, body, (seeds & fill, jnp.bool_(True)))
+    return reach
