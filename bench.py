@@ -106,8 +106,11 @@ def main():
             img_c, acc = carry
             o = _inspect_image_device(img_c, *args[1:], **kw)
             v, a = o[4][3], o[4][2]
-            bump = (a.sum() & 0).astype(jnp.uint8)  # 0, but data-dependent
-            return img_c + bump, acc + v.sum(dtype=jnp.int32)
+            # genuine data dependence (NOT provably zero, so XLA cannot
+            # hoist the pipeline out of the loop): xor the image's LSBs
+            # with the parity of the defect areas
+            bump = (a.sum(dtype=jnp.int32) & 1).astype(jnp.uint8)
+            return img_c ^ bump, acc + v.sum(dtype=jnp.int32)
         _, acc = jax.lax.fori_loop(0, N, body, (img, jnp.int32(0)))
         return acc
 

@@ -79,9 +79,24 @@ def _nbhd_min(vals: jnp.ndarray) -> jnp.ndarray:
 def label_components(fg: jnp.ndarray) -> jnp.ndarray:
     """fg: [U, H, W] bool -> int32 root labels (y*W+x of raster-first pixel).
 
-    Background pixels get _BIG (2^30).
+    Background pixels get _BIG (2^30). Dispatches to the VMEM-resident
+    Pallas fixpoint on TPU when shapes fit (~10x faster than the XLA
+    while-loop, which round-trips HBM every iteration).
     """
     u, h, w = fg.shape
+    hw = h * w
+    k_pow = max(2, int(np.ceil(np.log2(hw + 2))))
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    wp = -(-w // 128) * 128
+    hp = -(-h // 8) * 8
+    vmem_est = u * h * w + 3 * hp * wp * 4
+    if on_tpu and (max(h, w) + 1) * (1 << k_pow) < 2**31 and vmem_est < 10 * 2**20:
+        from tpu_inspect.ops.cc_pallas import label_components_pallas
+
+        return label_components_pallas(fg)
     yy = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 1)
     xx = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 2)
     init = jnp.where(fg, yy * w + xx, _BIG)

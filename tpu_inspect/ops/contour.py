@@ -141,11 +141,14 @@ def select_blobs(analysis: BlobAnalysis, keep: jnp.ndarray) -> jnp.ndarray:
     regions — a couple of cheap sweep iterations instead of a per-pixel
     [U, H*W] gather (TPU gathers at that size are ~100x slower).
     """
+    from tpu_inspect.ops.flood_pallas import flood_fits, propagate_pallas
     from tpu_inspect.ops.hole_fill import _axis_sweep
 
     u, h, w = analysis.fill_mask.shape
     fill = analysis.fill_mask
     seeds = (keep & analysis.is_root).reshape(u, h, w)
+    if flood_fits((u, h, w)):
+        return propagate_pallas(seeds, fill, conn8=True)
 
     def dilate8(m):
         p = jnp.pad(m, ((0, 0), (1, 1), (1, 1)))

@@ -63,6 +63,11 @@ def exterior_background(fg: jnp.ndarray) -> jnp.ndarray:
     border = border.at[..., :, w - 1].set(True)
     seed = border & free
 
+    from tpu_inspect.ops.flood_pallas import flood_fits, propagate_pallas
+
+    if flood_fits(fg.shape):
+        return propagate_pallas(seed, free, conn8=False)
+
     def cond(state):
         reach, changed = state
         return changed
