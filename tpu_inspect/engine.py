@@ -278,9 +278,6 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
         edges = canny_op.canny_u8(crops, max(1, thr // 2), max(2, thr))
         cand = jnp.where(roi, edges, jnp.uint8(0))
 
-    with jax.named_scope("analyze_blobs"):
-        analysis = contour.analyze_blobs(cand > 0)
-
     # area filter (indexing_ui.py:1542-1558): Python int() truncation of
     # roi_area * 0.98 computed in double; comparisons run on exact 2x-areas
     min_area = int(params.min_area)
@@ -291,14 +288,11 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
             roi_area.astype(jnp.float64) * jnp.float64(params.max_area_frac)
         ).astype(jnp.int32),
     )
-    keep = (
-        analysis.is_root
-        & (analysis.contour_area_x2 >= 2 * min_area)
-        & (analysis.contour_area_x2 <= 2 * max_area[:, None])
-    )
-    found = keep.any(axis=1) & ~roi_empty
-    with jax.named_scope("select_blobs"):
-        out = contour.select_blobs(analysis, keep)
+    with jax.named_scope("blob_filter"):
+        out, found = contour.filter_and_select(
+            cand > 0, 2 * min_area, 2 * max_area
+        )
+    found = found & ~roi_empty
     out = jnp.where(found[:, None, None], out, False)
     area = out.sum(axis=(1, 2), dtype=jnp.int32)
     # verdict: NG iff defect area >= min area; None mask => OK

@@ -168,3 +168,132 @@ def select_blobs(analysis: BlobAnalysis, keep: jnp.ndarray) -> jnp.ndarray:
 
     reach, _ = jax.lax.while_loop(cond, body, (seeds & fill, jnp.bool_(True)))
     return reach
+
+
+def filter_and_select(
+    fg: jnp.ndarray, min_area_x2, max_area_x2
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused blob filter + filled selection without any [U, H*W] scatter.
+
+    ``min_area_x2`` is a scalar, ``max_area_x2`` a [U] vector (both in
+    2*contourArea units). Returns (out_mask [U, H, W] bool, found [U] bool)
+    with drawContours(-1)-of-kept-external-contours semantics, exactly like
+    analyze_blobs + select_blobs but ~2.5x cheaper on TPU:
+
+    - vertices are sorted by blob attribution (sorts are ~6 ms where
+      scatters are ~40 ms on v5e),
+    - per-run Green's sums come from a MONOTONIC prefix (contributions
+      biased by a constant so the cumsum only grows -> plain int32 cummax
+      broadcasts the previous run boundary, no 64-bit packing),
+    - per-run keep decisions broadcast run-wide via a reverse cummin of
+      ``2*end_index + decision``,
+    - the inverse map back to vertex order is a second sort (by original
+      vertex index) instead of a permutation scatter,
+    - kept vertices seed the flood fill over the fill regions.
+    """
+    from tpu_inspect.ops.cc import _run_geometry
+    from tpu_inspect.ops.hole_fill import _axis_sweep, exterior_background
+
+    u, h, w = fg.shape
+    hw = h * w
+    ext = exterior_background(fg)
+    fill = ~ext
+    fill_labels = cc.label_components(fill)
+    fg_labels = cc.label_components(fg)
+    top = fg & (fg_labels == fill_labels)
+
+    state = jnp.where(top, jnp.int32(2), jnp.where(ext, jnp.int32(1), jnp.int32(0)))
+    sp = jnp.pad(state, ((0, 0), (1, 1), (1, 1)), constant_values=1)
+    cfg = (
+        sp[:, :-1, :-1] + 3 * sp[:, :-1, 1:] + 9 * sp[:, 1:, :-1] + 27 * sp[:, 1:, 1:]
+    )
+    tbl = np.asarray(CONTOUR_TABLE_X2)
+
+    def coef(col):
+        out = jnp.zeros(cfg.shape, dtype=jnp.int32)
+        for c in np.nonzero(tbl[:, col] == 1)[0]:
+            out = out + (cfg == int(c)).astype(jnp.int32)
+        for c in np.nonzero(tbl[:, col] == -1)[0]:
+            out = out - (cfg == int(c)).astype(jnp.int32)
+        return out
+
+    vx = jax.lax.broadcasted_iota(jnp.int32, cfg.shape, 2)
+    vy = jax.lax.broadcasted_iota(jnp.int32, cfg.shape, 1)
+    contrib = coef(0) + coef(1) * vx + coef(2) * vy
+
+    lab_top = jnp.where(top, fill_labels, jnp.int32(-1))
+    lp = jnp.pad(lab_top, ((0, 0), (1, 1), (1, 1)), constant_values=-1)
+    attr = jnp.maximum(
+        jnp.maximum(lp[:, :-1, :-1], lp[:, :-1, 1:]),
+        jnp.maximum(lp[:, 1:, :-1], lp[:, 1:, 1:]),
+    )
+
+    nv = (h + 1) * (w + 1)
+    keys = jnp.where(attr >= 0, attr, jnp.int32(hw)).reshape(u, nv)
+    vidx = jnp.broadcast_to(jnp.arange(nv, dtype=jnp.int32)[None, :], (u, nv))
+    bias = 1 << int(np.ceil(np.log2(h + w + 4)))  # > max |contribution|
+    big = (nv + 1) * (2 * bias)
+    sum_dtype = jnp.int32 if big < 2**31 else jnp.int64
+
+    sk, sv, svi = jax.lax.sort(
+        (keys, contrib.reshape(u, nv), vidx), dimension=1, num_keys=1
+    )
+    run_start, next_start, newrun = _run_geometry(sk)
+    idx = jnp.broadcast_to(jnp.arange(nv, dtype=jnp.int32)[None, :], (u, nv))
+    is_end = jnp.concatenate([newrun[:, 1:], jnp.ones((u, 1), bool)], axis=1)
+
+    # monotonic prefix: P'[i] = sum(sv[:i+1] + bias) grows strictly
+    p_mono = jnp.cumsum((sv + bias).astype(sum_dtype), axis=1)
+    end_vals = jnp.where(is_end, p_mono, jnp.asarray(-1, sum_dtype))
+    prev_end = jax.lax.cummax(
+        jnp.concatenate([jnp.full((u, 1), -1, sum_dtype), end_vals[:, :-1]], axis=1),
+        axis=1,
+    )
+    prev_end = jnp.maximum(prev_end, 0)
+    run_len = (idx - run_start + 1).astype(sum_dtype)
+    total = p_mono - prev_end - run_len * bias  # signed 2x Green's sum
+    area_x2 = jnp.abs(total).astype(jnp.int32)
+
+    valid_end = is_end & (sk < hw)
+    dec_end = valid_end & (area_x2 >= min_area_x2) & (
+        area_x2 <= max_area_x2[:, None]
+    )
+    found = dec_end.any(axis=1)
+
+    # broadcast each run's end-decision to all its members: nearest end >= i
+    end_code = jnp.where(is_end, 2 * idx + dec_end.astype(jnp.int32), jnp.int32(2**30))
+    my_end = jax.lax.cummin(end_code, axis=1, reverse=True)
+    dec_all = (my_end & 1) == 1
+
+    # inverse map: sort by original vertex index (a sort beats a scatter)
+    _, dec_vertex = jax.lax.sort(
+        (svi, dec_all.astype(jnp.int32)), dimension=1, num_keys=1
+    )
+    kv = dec_vertex.reshape(u, h + 1, w + 1) > 0
+    seeds = top & (
+        kv[:, :-1, :-1] | kv[:, :-1, 1:] | kv[:, 1:, :-1] | kv[:, 1:, 1:]
+    )
+
+    from tpu_inspect.ops.flood_pallas import flood_fits, propagate_pallas
+
+    if flood_fits((u, h, w)):
+        out = propagate_pallas(seeds, fill, conn8=True)
+    else:
+        def dilate8(m):
+            p = jnp.pad(m, ((0, 0), (1, 1), (1, 1)))
+            return jax.lax.reduce_window(
+                p, False, jax.lax.bitwise_or, (1, 3, 3), (1, 1, 1), "VALID"
+            )
+
+        def cond(state):
+            return state[1]
+
+        def body(state):
+            reach, _ = state
+            new = dilate8(reach) & fill
+            new = _axis_sweep(new, fill, axis=2)
+            new = _axis_sweep(new, fill, axis=1)
+            return new, (new != reach).any()
+
+        out, _ = jax.lax.while_loop(cond, body, (seeds & fill, jnp.bool_(True)))
+    return out, found
