@@ -265,10 +265,22 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
         k = int(params.median_k)
         if k % 2 == 0:
             k += 1
-        with jax.named_scope("median_bg"):
-            bg = median.median_blur_u8(crops, k)
-        resid = jnp.abs(crops.astype(jnp.int32) - bg.astype(jnp.int32))
-        cand = threshold.threshold_binary(resid, thr)
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu and w * 256 * 4 + 2 * h * w < 8 * 1024 * 1024:
+            # fused Pallas kernel: the median value itself is never needed,
+            # only whether it leaves [g-thr, g+thr] (two rank queries)
+            from tpu_inspect.ops.median_pallas import median_residual_mask_pallas
+
+            with jax.named_scope("median_residual"):
+                cand = median_residual_mask_pallas(crops, k, thr)
+        else:
+            with jax.named_scope("median_bg"):
+                bg = median.median_blur_u8(crops, k)
+            resid = jnp.abs(crops.astype(jnp.int32) - bg.astype(jnp.int32))
+            cand = threshold.threshold_binary(resid, thr)
         cand = jnp.where(roi, cand, jnp.uint8(0))
         with jax.named_scope("cand_open"):
             cand = morphology.morph_open(cand, morphology.ellipse_se(3))

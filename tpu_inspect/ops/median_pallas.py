@@ -118,3 +118,80 @@ def median_blur_u8_pallas(x: jnp.ndarray, k: int) -> jnp.ndarray:
         scratch_shapes=[pltpu.VMEM((w, 256), jnp.int32)],
     )(x4)
     return out.reshape(u, h, w)
+
+
+def _median_residual_kernel(x_ref, out_ref, hist_ref, *, k, thr, u, h, w):
+    """Fused: out = 255 where |x - median_k(x)| > thr else 0.
+
+    The defect path never needs the median value itself — only whether it
+    falls outside [g-thr, g+thr]. That is two masked rank queries against
+    the window histogram instead of a full 256-lane prefix:
+      median < g-thr  <=>  cdf(g-thr-1) >= rank
+      median > g+thr  <=>  cdf(g+thr)   <  rank
+    (out-of-range thresholds degenerate correctly: empty/full masks).
+    """
+    r = k // 2
+    rank = (k * k + 1) // 2
+    bins = jax.lax.broadcasted_iota(jnp.int32, (w, 256), 1)
+
+    def unit_body(ui, carry):
+        def row_vals(y):
+            yc = jnp.maximum(jnp.minimum(y, jnp.int32(h - 1)), jnp.int32(0))
+            return x_ref[pl.ds(ui, 1), pl.ds(yc, 1), 0, :].astype(jnp.int32)
+
+        def onehot(y):
+            return (row_vals(y).reshape(w, 1) == bins).astype(jnp.int32)
+
+        acc = onehot(jnp.int32(0)) * (r + 1)
+
+        def init_body(dy, acc):
+            return acc + onehot(dy)
+
+        hist_ref[:, :] = jax.lax.fori_loop(
+            jnp.int32(1), jnp.int32(r + 1), init_body, acc
+        )
+
+        def row_body(y, c):
+            hist = hist_ref[:, :]
+            left = jnp.broadcast_to(hist[0:1, :], (r, 256))
+            right = jnp.broadcast_to(hist[w - 1 : w, :], (r, 256))
+            p = jnp.concatenate([left, hist, right], axis=0)
+            win = _sliding_sum(p, k, w)  # [w, 256]
+            g = row_vals(y).reshape(w, 1)
+            # keep everything 2D: 1D i1 vectors hit Mosaic relayout bugs
+            lo = (win * (bins <= g - (thr + 1)).astype(jnp.int32)).sum(
+                axis=1, dtype=jnp.int32, keepdims=True
+            )
+            hi = (win * (bins <= g + thr).astype(jnp.int32)).sum(
+                axis=1, dtype=jnp.int32, keepdims=True
+            )
+            bit = ((lo >= rank) | (hi < rank)).astype(jnp.int32)  # [w, 1]
+            out_ref[pl.ds(ui, 1), pl.ds(y, 1), 0, :] = (
+                (bit * 255).astype(jnp.uint8).reshape(1, 1, w)
+            )
+            hist_ref[:, :] = hist + onehot(y + r + 1) - onehot(y - r)
+            return c
+
+        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(h), row_body, carry)
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(u), unit_body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "thr"))
+def median_residual_mask_pallas(x: jnp.ndarray, k: int, thr: int) -> jnp.ndarray:
+    """255 where |x - medianBlur(x, k)| > thr, else 0 (uint8, bit-exact vs
+    cv2 medianBlur + absdiff + THRESH_BINARY)."""
+    assert k % 2 == 1 and k >= 1
+    u, h, w = x.shape
+    kernel = functools.partial(
+        _median_residual_kernel, k=k, thr=int(thr), u=u, h=h, w=w
+    )
+    x4 = x.reshape(u, h, 1, w)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((u, h, 1, w), jnp.uint8),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((w, 256), jnp.int32)],
+    )(x4)
+    return out.reshape(u, h, w)
