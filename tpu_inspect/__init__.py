@@ -48,10 +48,38 @@ from tpu_inspect.config import (  # noqa: E402
 )
 from tpu_inspect.geometry import grid_boxes  # noqa: E402
 
+
+def __getattr__(name):
+    # Lazy top-level API (avoid importing jax-heavy modules at package import)
+    if name in ("inspect_image", "segment_units", "detect_defects_batch"):
+        from tpu_inspect import engine
+
+        return getattr(engine, name)
+    if name == "InspectionSession":
+        from tpu_inspect.session import InspectionSession
+
+        return InspectionSession
+    if name == "stream_inspect":
+        from tpu_inspect.streaming import stream_inspect
+
+        return stream_inspect
+    if name == "load_grid":
+        from tpu_inspect.persistence import load_grid
+
+        return load_grid
+    raise AttributeError(name)
+
+
 __all__ = [
     "DefectParams",
     "GridParams",
     "InspectionParams",
+    "InspectionSession",
     "SegmentationParams",
+    "detect_defects_batch",
     "grid_boxes",
+    "inspect_image",
+    "load_grid",
+    "segment_units",
+    "stream_inspect",
 ]
