@@ -73,6 +73,31 @@ def pack_exclusions(exclusions) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+def ref_centroid_arrays(
+    ref_centroids, u: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Normalize alignment anchors into ([U,2] float64, [U] bool valid).
+
+    Accepts the persistence dict form {idx: (cx, cy)} (sparse — units whose
+    reference mask was empty have no anchor, indexing_ui.py:2282-2289), a
+    dense [U,2] array (all valid), or None (no anchors).
+    """
+    if isinstance(ref_centroids, dict):
+        arr = np.zeros((u, 2), dtype=np.float64)
+        valid = np.zeros((u,), dtype=bool)
+        for k, v in ref_centroids.items():
+            if 0 <= int(k) < u:
+                arr[int(k)] = (float(v[0]), float(v[1]))
+                valid[int(k)] = True
+        return arr, valid
+    if ref_centroids is None:
+        return np.zeros((u, 2), dtype=np.float64), np.zeros((u,), dtype=bool)
+    return (
+        np.asarray(ref_centroids, dtype=np.float64),
+        np.ones((u,), dtype=bool),
+    )
+
+
 def exclusion_zone(
     shape: tuple[int, int],
     rects: jnp.ndarray,
@@ -183,21 +208,7 @@ def segment_units(
     crops = jnp.asarray(crops, dtype=jnp.uint8)
     u, h, w = crops.shape
     rects, circles = pack_exclusions(exclusions)
-
-    if isinstance(ref_centroids, dict):
-        arr = np.zeros((u, 2), dtype=np.float64)
-        valid = np.zeros((u,), dtype=bool)
-        for k, v in ref_centroids.items():
-            if 0 <= int(k) < u:
-                arr[int(k)] = (float(v[0]), float(v[1]))
-                valid[int(k)] = True
-        ref_arr, ref_ok = arr, valid
-    elif ref_centroids is None:
-        ref_arr = np.zeros((u, 2), dtype=np.float64)
-        ref_ok = np.zeros((u,), dtype=bool)
-    else:
-        ref_arr = np.asarray(ref_centroids, dtype=np.float64)
-        ref_ok = np.ones((u,), dtype=bool)
+    ref_arr, ref_ok = ref_centroid_arrays(ref_centroids, u)
 
     mask, centroid, has_fg, shifts = _segment_device(
         crops,
@@ -426,21 +437,7 @@ def inspect_image(
     u = origins.shape[0]
     _, _, w, h = grid.base_unit
     rects, circles = pack_exclusions(exclusions)
-
-    if isinstance(ref_centroids, dict):
-        arr = np.zeros((u, 2), dtype=np.float64)
-        valid = np.zeros((u,), dtype=bool)
-        for k, v in ref_centroids.items():
-            if 0 <= int(k) < u:
-                arr[int(k)] = (float(v[0]), float(v[1]))
-                valid[int(k)] = True
-        ref_arr, ref_ok = arr, valid
-    elif ref_centroids is None:
-        ref_arr = np.zeros((u, 2), dtype=np.float64)
-        ref_ok = np.zeros((u,), dtype=bool)
-    else:
-        ref_arr = np.asarray(ref_centroids, dtype=np.float64)
-        ref_ok = np.ones((u,), dtype=bool)
+    ref_arr, ref_ok = ref_centroid_arrays(ref_centroids, u)
 
     out = _inspect_image_device(
         image,

@@ -1,15 +1,23 @@
-"""Multi-chip scaling: unit-batch data parallelism over a device mesh.
+"""Multi-chip scaling: unit-batch and image-batch data parallelism.
 
 The reference has no distributed code at all (SURVEY.md section 2b): it
-loops units on one CPU thread. The TPU-native scaling axis is the unit
-batch: every per-unit pipeline stage is independent, so sharding the
-leading [units] dimension across chips with jax.sharding turns the whole
-inspection into pure data parallelism — XLA inserts zero collectives on the
-hot path, and only the tiny per-unit outputs (verdicts, centroids) are
-gathered at the end over ICI.
+loops units on one CPU thread (indexing_ui.py:2268, :1669). The TPU-native
+scaling axes are
 
-For multi-image streaming (BASELINE.json config 5), a 2D mesh
-("image", "unit") shards a [images, units, H, W] batch both ways.
+- the **unit batch**: every per-unit pipeline stage is independent, so
+  sharding the leading [units] dimension across chips with jax.sharding
+  turns the whole inspection into pure data parallelism — XLA inserts zero
+  collectives on the hot path, and only the tiny per-unit outputs
+  (verdicts, centroids, shifts) are gathered at the end over ICI;
+- the **image batch** (BASELINE.json config 5, multi-image streaming): a 2D
+  ("image", "unit") mesh shards a [images, units, H, W] crop batch both
+  ways. Internally the batch is flattened to [images*units, H, W] with a
+  ("image","unit") product sharding so the single-image engine kernels run
+  unchanged.
+
+Both paths run the REAL workflow: exclusion zones (rects + circles) and
+per-unit centroid alignment shifts (indexing_ui.py:2291-2338) are threaded
+through, not hardcoded empty.
 """
 
 from __future__ import annotations
@@ -21,7 +29,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpu_inspect.config import DefectParams, SegmentationParams
+from tpu_inspect.config import DefectParams, GridParams, SegmentationParams
+from tpu_inspect.engine import (
+    InspectionResult,
+    SegmentationResult,
+    _defect_device,
+    _segment_device,
+    pack_exclusions,
+    ref_centroid_arrays,
+)
 
 
 def unit_mesh(devices=None) -> Mesh:
@@ -30,59 +46,238 @@ def unit_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), axis_names=("unit",))
 
 
+def image_unit_mesh(n_images: int, devices=None) -> Mesh:
+    """2D ("image", "unit") mesh: n_images rows of devices, units sharded
+    within each row. For multi-image streaming (BASELINE.json config 5)."""
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    if n % n_images:
+        raise ValueError(f"{n} devices not divisible by {n_images} images")
+    grid = np.array(devices).reshape(n_images, n // n_images)
+    return Mesh(grid, axis_names=("image", "unit"))
+
+
 def pad_units(n: int, n_shards: int) -> int:
     """Units are padded to a multiple of the mesh size (padded units are
     all-background crops and produce OK verdicts that callers slice off)."""
     return (n + n_shards - 1) // n_shards * n_shards
 
 
-@functools.partial(jax.jit, static_argnames=("seg", "defect", "mesh"))
-def _sharded_inspect(crops, *, seg: SegmentationParams, defect: DefectParams, mesh: Mesh):
-    from tpu_inspect.engine import _defect_device, _segment_device
-
-    u = crops.shape[0]
+@functools.partial(
+    jax.jit, static_argnames=("seg", "defect", "is_reference", "mesh")
+)
+def _sharded_inspect(
+    crops,
+    rects,
+    circles,
+    ref_centroids,
+    ref_valid,
+    *,
+    seg: SegmentationParams,
+    defect: DefectParams,
+    is_reference: bool,
+    mesh: Mesh,
+):
+    unit_axis = "unit"
     crops = jax.lax.with_sharding_constraint(
-        crops, NamedSharding(mesh, P("unit", None, None))
+        crops, NamedSharding(mesh, P(unit_axis, None, None))
     )
-    rects = jnp.zeros((0, 4), dtype=jnp.int32)
-    circles = jnp.zeros((0, 3), dtype=jnp.int32)
-    refc = jnp.zeros((u, 2), dtype=jnp.float64)
-    refv = jnp.zeros((u,), dtype=bool)
+    ref_centroids = jax.lax.with_sharding_constraint(
+        ref_centroids, NamedSharding(mesh, P(unit_axis, None))
+    )
+    ref_valid = jax.lax.with_sharding_constraint(
+        ref_valid, NamedSharding(mesh, P(unit_axis))
+    )
     masks, centroid, has_fg, shifts = _segment_device(
-        crops, rects, circles, refc, refv,
-        seg=seg, is_reference=True, shape_hw=(crops.shape[1], crops.shape[2]),
+        crops,
+        rects,
+        circles,
+        ref_centroids,
+        ref_valid,
+        seg=seg,
+        is_reference=is_reference,
+        shape_hw=(crops.shape[1], crops.shape[2]),
+    )
+    masks = jax.lax.with_sharding_constraint(
+        masks, NamedSharding(mesh, P(unit_axis, None, None))
     )
     dmasks, found, area, verdict = _defect_device(crops, masks, params=defect)
-    return masks, dmasks, area, verdict
+    return masks, centroid, has_fg, shifts, dmasks, found, area, verdict
 
 
 def inspect_units_sharded(
     crops: np.ndarray,
     seg: SegmentationParams | None = None,
     defect: DefectParams | None = None,
+    exclusions=(),
+    ref_centroids=None,
+    is_reference: bool = True,
     mesh: Mesh | None = None,
-):
-    """Inspect a unit batch sharded across chips.
+) -> tuple[SegmentationResult, InspectionResult]:
+    """Inspect a unit batch sharded across chips — the full workflow
+    (exclusion zones + centroid-alignment shifts included), matching
+    engine.inspect_units semantics with the unit axis distributed.
 
-    Returns (seg masks, defect masks, areas, verdicts) as host arrays with
+    Returns (SegmentationResult, InspectionResult) as host arrays with
     padding stripped.
     """
     seg = (seg or SegmentationParams()).validated()
     defect = (defect or DefectParams()).validated()
     mesh = mesh or unit_mesh()
+    n_shards = mesh.shape.get("unit", mesh.size)
     n = crops.shape[0]
-    n_pad = pad_units(n, mesh.size)
+    n_pad = pad_units(n, n_shards)
+    rects, circles = pack_exclusions(exclusions)
+    ref_arr, ref_ok = ref_centroid_arrays(ref_centroids, n)
     if n_pad != n:
         pad = np.zeros((n_pad - n,) + crops.shape[1:], dtype=crops.dtype)
         crops = np.concatenate([crops, pad], axis=0)
-    arr = jax.device_put(
-        jnp.asarray(crops, dtype=jnp.uint8),
-        NamedSharding(mesh, P("unit", None, None)),
+        ref_arr = np.concatenate(
+            [ref_arr, np.zeros((n_pad - n, 2), dtype=np.float64)], axis=0
+        )
+        ref_ok = np.concatenate(
+            [ref_ok, np.zeros((n_pad - n,), dtype=bool)], axis=0
+        )
+    spec = NamedSharding(mesh, P("unit", None, None))
+    arr = jax.device_put(jnp.asarray(crops, dtype=jnp.uint8), spec)
+    masks, centroid, has_fg, shifts, dmasks, found, area, verdict = (
+        _sharded_inspect(
+            arr,
+            jnp.asarray(rects),
+            jnp.asarray(circles),
+            jnp.asarray(ref_arr),
+            jnp.asarray(ref_ok),
+            seg=seg,
+            defect=defect,
+            is_reference=bool(is_reference),
+            mesh=mesh,
+        )
     )
-    masks, dmasks, area, verdict = _sharded_inspect(arr, seg=seg, defect=defect, mesh=mesh)
+    seg_res = SegmentationResult(
+        masks=np.asarray(masks)[:n],
+        centroids=np.asarray(centroid)[:n],
+        centroid_valid=np.asarray(has_fg)[:n],
+        shifts=np.asarray(shifts)[:n],
+    )
+    insp = InspectionResult(
+        defect_masks=np.asarray(dmasks)[:n],
+        valid=np.asarray(found)[:n],
+        areas=np.asarray(area, dtype=np.int64)[:n],
+        verdicts=np.asarray(verdict)[:n],
+    )
+    return seg_res, insp
+
+
+# ---------------------------------------------------------------------------
+# 2D ("image", "unit") mesh: multi-image batches (BASELINE config 5)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("seg", "defect", "is_reference", "unit_hw", "mesh"),
+)
+def _sharded_image_batch(
+    images,
+    origins,
+    rects,
+    circles,
+    ref_centroids,
+    ref_valid,
+    *,
+    seg: SegmentationParams,
+    defect: DefectParams,
+    is_reference: bool,
+    unit_hw: tuple[int, int],
+    mesh: Mesh,
+):
+    from tpu_inspect.imageio import gather_crops
+
+    b = images.shape[0]
+    u = origins.shape[0]
+    h, w = unit_hw
+    images = jax.lax.with_sharding_constraint(
+        images, NamedSharding(mesh, P("image", None, None))
+    )
+    crops = jax.lax.optimization_barrier(
+        jax.vmap(lambda im: gather_crops(im, origins, unit_hw=unit_hw))(images)
+    )
+    # Flatten [B, U, h, w] -> [B*U, h, w] with the ("image","unit") product
+    # sharding: the single-image engine kernels then run unchanged, each chip
+    # owning a (image-slice x unit-slice) block of the batch.
+    crops = jax.lax.with_sharding_constraint(
+        crops.reshape(b * u, h, w),
+        NamedSharding(mesh, P(("image", "unit"), None, None)),
+    )
+    refc = jnp.tile(ref_centroids, (b, 1))
+    refv = jnp.tile(ref_valid, (b,))
+    masks, centroid, has_fg, shifts = _segment_device(
+        crops, rects, circles, refc, refv,
+        seg=seg, is_reference=is_reference, shape_hw=unit_hw,
+    )
+    masks = jax.lax.with_sharding_constraint(
+        masks, NamedSharding(mesh, P(("image", "unit"), None, None))
+    )
+    dmasks, found, area, verdict = _defect_device(crops, masks, params=defect)
     return (
-        np.asarray(masks)[:n],
-        np.asarray(dmasks)[:n],
-        np.asarray(area)[:n],
-        np.asarray(verdict)[:n],
+        verdict.reshape(b, u),
+        area.reshape(b, u),
+        found.reshape(b, u),
+        masks.reshape(b, u, h, w),
+        dmasks.reshape(b, u, h, w),
+    )
+
+
+def inspect_image_batch_sharded(
+    images: np.ndarray,
+    grid: GridParams,
+    seg: SegmentationParams | None = None,
+    defect: DefectParams | None = None,
+    exclusions=(),
+    ref_centroids=None,
+    mesh: Mesh | None = None,
+):
+    """Inspect a [B, H, W] batch of full images over a 2D ("image","unit")
+    mesh — the crop gather runs per image shard, then all B*U units are
+    jointly data-parallel across the whole mesh.
+
+    ``ref_centroids`` anchors apply per unit (shared across images, as every
+    streamed frame aligns against the same reference capture). Returns
+    (verdicts [B,U] bool, areas [B,U] int64, valid [B,U] bool,
+    seg_masks [B,U,h,w], defect_masks [B,U,h,w]).
+    """
+    from tpu_inspect.geometry import grid_origins
+
+    seg = (seg or SegmentationParams()).validated()
+    defect = (defect or DefectParams()).validated()
+    mesh = mesh or image_unit_mesh(images.shape[0])
+    origins = jnp.asarray(grid_origins(grid))
+    u = origins.shape[0]
+    _, _, w, h = grid.base_unit
+    rects, circles = pack_exclusions(exclusions)
+    ref_arr, ref_ok = ref_centroid_arrays(ref_centroids, u)
+    is_reference = ref_centroids is None
+    arr = jax.device_put(
+        jnp.asarray(images, dtype=jnp.uint8),
+        NamedSharding(mesh, P("image", None, None)),
+    )
+    verdict, area, found, masks, dmasks = _sharded_image_batch(
+        arr,
+        origins,
+        jnp.asarray(rects),
+        jnp.asarray(circles),
+        jnp.asarray(ref_arr),
+        jnp.asarray(ref_ok),
+        seg=seg,
+        defect=defect,
+        is_reference=is_reference,
+        unit_hw=(h, w),
+        mesh=mesh,
+    )
+    return (
+        np.asarray(verdict),
+        np.asarray(area, dtype=np.int64),
+        np.asarray(found),
+        np.asarray(masks),
+        np.asarray(dmasks),
     )

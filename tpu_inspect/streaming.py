@@ -22,7 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_inspect.config import DefectParams, GridParams, SegmentationParams
-from tpu_inspect.engine import _inspect_image_device, pack_exclusions
+from tpu_inspect.engine import (
+    _inspect_image_device,
+    pack_exclusions,
+    ref_centroid_arrays,
+)
 from tpu_inspect.geometry import grid_origins
 
 
@@ -62,12 +66,7 @@ def stream_inspect(
     rects = jnp.asarray(rects)
     circles = jnp.asarray(circles)
 
-    ref_arr = np.zeros((u, 2), dtype=np.float64)
-    ref_ok = np.zeros((u,), dtype=bool)
-    for k, v in (ref_centroids or {}).items():
-        if 0 <= int(k) < u:
-            ref_arr[int(k)] = (float(v[0]), float(v[1]))
-            ref_ok[int(k)] = True
+    ref_arr, ref_ok = ref_centroid_arrays(ref_centroids or {}, u)
     ref_arr = jnp.asarray(ref_arr)
     ref_ok_j = jnp.asarray(ref_ok)
     is_reference = not bool(ref_ok.any())
@@ -114,3 +113,62 @@ def stream_inspect(
     while inflight:
         j, out = inflight.popleft()
         yield collect(j, out)
+
+
+def stream_inspect_sharded(
+    images: Iterable[np.ndarray],
+    grid: GridParams,
+    seg: SegmentationParams | None = None,
+    defect: DefectParams | None = None,
+    exclusions=(),
+    ref_centroids: dict[int, tuple[float, float]] | None = None,
+    mesh=None,
+    fetch_masks: bool = False,
+) -> Iterator[StreamResult]:
+    """Multi-chip streaming over a 2D ("image", "unit") mesh (BASELINE.json
+    config 5): frames are grouped into batches of the mesh's image-axis size
+    and each batch is inspected with both axes sharded
+    (parallel.mesh.inspect_image_batch_sharded). A ragged final batch is
+    padded by repeating the last frame; padding results are dropped.
+    """
+    from tpu_inspect.parallel.mesh import (
+        image_unit_mesh,
+        inspect_image_batch_sharded,
+    )
+
+    mesh = mesh or image_unit_mesh(2)
+    batch = int(mesh.shape["image"])
+
+    def flush(frames: list[np.ndarray], start: int) -> Iterator[StreamResult]:
+        n = len(frames)
+        padded = frames + [frames[-1]] * (batch - n)
+        verdicts, areas, found, masks, dmasks = inspect_image_batch_sharded(
+            np.stack(padded),
+            grid,
+            seg,
+            defect,
+            exclusions=exclusions,
+            ref_centroids=ref_centroids,
+            mesh=mesh,
+        )
+        for j in range(n):
+            yield StreamResult(
+                index=start + j,
+                verdicts=verdicts[j],
+                areas=areas[j],
+                valid=found[j],
+                ng_count=int(verdicts[j].sum()),
+                seg_masks=masks[j] if fetch_masks else None,
+                defect_masks=dmasks[j] if fetch_masks else None,
+            )
+
+    pending: list[np.ndarray] = []
+    start = 0
+    for image in images:
+        pending.append(np.asarray(image))
+        if len(pending) == batch:
+            yield from flush(pending, start)
+            start += batch
+            pending = []
+    if pending:
+        yield from flush(pending, start)
