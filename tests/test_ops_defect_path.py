@@ -100,3 +100,42 @@ def test_canny_parity(t1, t2):
     ref = np.stack([cv2.Canny(im, t1, t2) for im in imgs])
     ours = np.asarray(canny.canny_u8(jnp.asarray(imgs), t1, t2))
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_largest_component_tie_matches_cv2_block_order():
+    """cv2 numbers components in 2x2-block raster order (BBDT); on exact
+    area ties np.argmax picks the block-first component even when another
+    component's first PIXEL comes earlier in raster order."""
+    from tpu_inspect.ops import cc
+
+    img = np.zeros((20, 30), np.uint8)
+    img[3:7, 0:3] = 255     # first pixel (3,0) -> block (1,0)
+    img[2:8, 28:30] = 255   # first pixel (2,28) -> block (1,14)
+    n, labels, stats, _ = cv2.connectedComponentsWithStats(
+        (img > 0).astype(np.uint8), connectivity=8
+    )
+    best = 1 + int(np.argmax(stats[1:, cv2.CC_STAT_AREA]))
+    want = labels == best
+    mask, area, centroid, has = cc.largest_component(jnp.asarray(img[None] > 0))
+    assert bool(has[0])
+    np.testing.assert_array_equal(np.asarray(mask[0]), want)
+
+
+def test_largest_component_random_ties_match_cv2():
+    from tpu_inspect.ops import cc
+
+    rng = np.random.RandomState(11)
+    for _ in range(20):
+        img = np.zeros((24, 32), np.uint8)
+        # two random rects of identical area, non-overlapping halves
+        w1, h1 = rng.randint(2, 6), rng.randint(2, 6)
+        x1, y1 = rng.randint(0, 10), rng.randint(0, 24 - h1)
+        img[y1 : y1 + h1, x1 : x1 + w1] = 255
+        x2, y2 = rng.randint(17, 32 - w1), rng.randint(0, 24 - h1)
+        img[y2 : y2 + h1, x2 : x2 + w1] = 255
+        n, labels, stats, _ = cv2.connectedComponentsWithStats(
+            (img > 0).astype(np.uint8), connectivity=8
+        )
+        best = 1 + int(np.argmax(stats[1:, cv2.CC_STAT_AREA]))
+        mask, _, _, _ = cc.largest_component(jnp.asarray(img[None] > 0))
+        np.testing.assert_array_equal(np.asarray(mask[0]), labels == best)

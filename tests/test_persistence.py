@@ -100,3 +100,55 @@ def test_combined_json_round_trip(tmp_path):
     assert set(masks2) == {0, 1, 2}
     for i in range(3):
         np.testing.assert_array_equal(masks2[i], masks[i])
+
+
+def test_bare_list_grid_keeps_all_units():
+    """Legacy bare-list imports must drive every box, not collapse to
+    unit 0 (round-1 advisor finding)."""
+    from tpu_inspect.geometry import BoxGrid, grid_origins
+    from tpu_inspect.persistence import load_grid
+
+    p = sample_grid_params()
+    boxes = grid_boxes(p)
+    data = [
+        {"index": i, "x": x, "y": y, "w": w, "h": h}
+        for i, (x, y, w, h) in enumerate(boxes)
+    ]
+    doc = load_grid(data)
+    g = doc.grid_params
+    assert isinstance(g, BoxGrid)
+    assert g.num_units == len(boxes)
+    assert grid_boxes(g) == boxes
+    assert grid_origins(g).shape == (len(boxes), 2)
+    assert g.base_unit == boxes[0]
+
+
+def test_stale_metadata_falls_back_to_boxes():
+    """Metadata that no longer regenerates the stored boxes is ignored in
+    favor of the explicit boxes."""
+    from tpu_inspect.geometry import BoxGrid
+    from tpu_inspect.persistence import load_grid
+
+    p = sample_grid_params()
+    boxes = grid_boxes(p)
+    meta = grid_metadata(p, 4096, 3000)
+    meta["units_x"] = 1  # stale: regenerates a different grid
+    doc = load_grid({"metadata": meta, "boxes": [
+        {"index": i, "x": x, "y": y, "w": w, "h": h}
+        for i, (x, y, w, h) in enumerate(boxes)
+    ]})
+    g = doc.grid_params
+    assert isinstance(g, BoxGrid)
+    assert g.num_units == len(boxes)
+
+
+def test_matching_metadata_yields_grid_params():
+    from tpu_inspect.config import GridParams
+    from tpu_inspect.persistence import load_grid
+
+    p = sample_grid_params()
+    doc = load_grid(save_grid(GridDocument(
+        boxes=grid_boxes(p), metadata=grid_metadata(p, 4096, 3000)
+    )))
+    assert isinstance(doc.grid_params, GridParams)
+    assert doc.grid_params == p

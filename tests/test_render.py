@@ -71,3 +71,47 @@ def test_erosion_outline():
     er = cv2.erode(m, None, iterations=2)
     assert (er[outline] > 0).all()
     assert render.erosion_outline_mask(np.zeros((10, 10), np.uint8), 1) is None
+
+
+def test_render_canvas_clips_out_of_bounds_boxes():
+    """Boxes extending past the image edge must clip, not crash
+    (round-1 advisor finding; the reference's QImage.copy pads)."""
+    img = np.zeros((50, 40), np.uint8)
+    grid = GridParams(base_unit=(30, 40, 20, 20))
+    masks = np.full((1, 20, 20), 255, np.uint8)
+    out = render.render_canvas(img, grid, seg_masks=masks, mode="Segmentation")
+    assert out.shape == (50, 40, 3)
+    assert out[45, 35, 1] > 0  # green tint inside the clipped region
+    # fully outside: no-op
+    grid2 = GridParams(base_unit=(100, 100, 20, 20))
+    out2 = render.render_canvas(img, grid2, seg_masks=masks, mode="Both")
+    assert (out2[..., 1] == render.render_canvas(img, grid2, mode="None")[..., 1]).all()
+
+
+def test_erosion_inset_rect_fallback():
+    assert render.erosion_inset_rect((10, 20, 30, 40), 6) == (16, 26, 18, 28)
+    assert render.erosion_inset_rect((0, 0, 10, 10), 5) is None
+    kind, rect = render.erosion_outline(None, (10, 20, 30, 40), 6)
+    assert kind == "rect" and rect == (16, 26, 18, 28)
+    assert render.erosion_outline(None, (0, 0, 10, 10), 5) is None
+    mask = np.zeros((20, 20), np.uint8)
+    mask[4:16, 4:16] = 255
+    kind, outline = render.erosion_outline(mask, (0, 0, 20, 20), 2)
+    assert kind == "mask"
+    assert outline.shape == (20, 20) and outline.any()
+
+
+def test_thumbnail_icon():
+    crop = np.full((60, 80), 100, np.uint8)
+    seg = np.zeros((60, 80), np.uint8)
+    seg[10:30, 10:40] = 255
+    dfm = np.zeros((60, 80), np.uint8)
+    dfm[15:20, 15:25] = 255
+    icon = render.thumbnail_icon(crop, seg, dfm, mode="Segmentation")
+    assert icon.shape == (96, 128, 3)  # keep-aspect into 128
+    y, x = 32, 40  # inside the scaled mask
+    assert icon[y, x, 1] > icon[y, x, 0]  # green-tinted
+    plain = render.thumbnail_icon(crop, seg, dfm, mode="None")
+    assert (plain == 100).all()
+    both = render.thumbnail_icon(crop, seg, dfm, mode="Both")
+    assert both[28, 32, 0] > both[28, 32, 1]  # defect red wins on top

@@ -9,11 +9,11 @@ an iterative min-label propagation fully vectorized over [U, H, W]:
   foreground run per sweep, so convergence is O(#bends), not O(diameter)),
 - fixpoint: label == min linear index of the component ("root").
 
-Roots are stable identifiers: the root is the component's raster-first
-pixel, so OpenCV's label order (components numbered by first raster
-appearance) maps to ascending root order, and `argmax`-style area
-tie-breaks (first max) match the reference's np.argmax over OpenCV labels
-(indexing_ui.py:1508-1509, :2243-2244).
+Roots are stable identifiers (the component's raster-first pixel). OpenCV
+numbers components by first appearance in 2x2-BLOCK raster order (BBDT),
+which usually — but not always — agrees with pixel-raster root order;
+largest_component reproduces the block order exactly for its area
+tie-break (see its docstring).
 """
 
 from __future__ import annotations
@@ -161,21 +161,50 @@ def largest_component(fg: jnp.ndarray):
 
     Implementation: sort the labels and reduce run lengths — TPU sorts are
     several times cheaper than the big scatter-add a per-root histogram
-    would need. Area ties keep the smallest root (OpenCV's first-raster
-    component, matching np.argmax's first-maximum).
+    would need.
+
+    Area ties follow OpenCV exactly: cv2.connectedComponentsWithStats
+    (BBDT/Spaghetti, 8-connectivity) numbers components by first appearance
+    in **2x2-block raster order** (every 2x2 block is wholly one component
+    under 8-connectivity), which np.argmax's first-maximum then picks
+    (indexing_ui.py:1508-1509, :2243-2244). Block order can differ from
+    pixel-raster order — e.g. first pixels (3,0) vs (2,28): pixel raster
+    says (2,28) first, cv2 labels (3,0) first because block (1,0) precedes
+    block (1,14) — so the tie-break key is the component's minimum
+    block-raster rank, carried through the sort as a value operand.
     """
     u, h, w = fg.shape
     hw = h * w
     labels = label_components(fg)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 2)
+    bw = (w + 1) // 2
+    # block-raster-major pixel rank: block index * 4 + position in block
+    blockrank = (
+        ((yy >> 1) * bw + (xx >> 1)) * 4 + (yy & 1) * 2 + (xx & 1)
+    )
     flat = jnp.where(fg.reshape(u, hw), labels.reshape(u, hw), jnp.int32(hw))
-    s = jnp.sort(flat, axis=1)  # spill keys (hw) collect at the end
+    s, br = jax.lax.sort(
+        (flat, blockrank.reshape(u, hw)), dimension=1, num_keys=1
+    )
     run_start, next_start, newrun = _run_geometry(s)
     run_len = next_start - run_start
     valid = newrun & (s < hw)
     len_at_start = jnp.where(valid, run_len, 0)
     max_len = len_at_start.max(axis=1)
     is_best = valid & (run_len == max_len[:, None])
-    best_label = jnp.where(is_best, s, jnp.int32(hw)).min(axis=1)
+    # broadcast each run's is_best flag to every position of the run
+    # (2*run_start+flag carried by a cummax), then pick the globally
+    # smallest block rank among best-component pixels
+    idx = jnp.broadcast_to(jnp.arange(hw, dtype=jnp.int32)[None, :], (u, hw))
+    carry = jax.lax.cummax(
+        jnp.where(newrun, 2 * idx + is_best.astype(jnp.int32), -1), axis=1
+    )
+    in_best = (carry & 1) == 1
+    tie_key = jnp.where(in_best & (s < hw), br, jnp.int32(2**30))
+    win_pos = jnp.argmin(tie_key, axis=1).astype(jnp.int32)
+    best_label = jnp.take_along_axis(s, win_pos[:, None], axis=1)[:, 0]
+    best_label = jnp.where(max_len > 0, best_label, jnp.int32(hw))
 
     best_mask = fg & (labels == best_label[:, None, None])
     area = max_len

@@ -132,10 +132,23 @@ def save_grid(
 
 
 def grid_metadata(
-    p: GridParams, image_width: int | None, image_height: int | None
+    p, image_width: int | None, image_height: int | None
 ) -> dict:
-    """Build the v2 metadata dict from grid params (indexing_ui.py:2744-2759)."""
+    """Build the v2 metadata dict from grid params (indexing_ui.py:2744-2759).
+
+    A :class:`~tpu_inspect.geometry.BoxGrid` (explicit boxes, no indexing
+    parameters) exports only the base unit + image size; its geometry lives
+    in the boxes list, which re-imports as a BoxGrid again.
+    """
+    from tpu_inspect.geometry import BoxGrid
+
     bx, by, bw, bh = p.base_unit
+    if isinstance(p, BoxGrid):
+        return {
+            "image_width": image_width,
+            "image_height": image_height,
+            "base_unit": {"x": bx, "y": by, "w": bw, "h": bh},
+        }
     return {
         "image_width": image_width,
         "image_height": image_height,

@@ -131,20 +131,31 @@ def render_canvas(
         m = masks[i]
         return None if m is None else np.asarray(m)
 
+    H, W = rgb.shape[:2]
     if mode != "None":
         for i, (x, y, w, h) in enumerate(boxes):
             opacity = SELECTED_OPACITY if i == selected else CANVAS_OPACITY
             seg_a = SELECTED_SEG_ALPHA if i == selected else CANVAS_SEG_ALPHA
             def_a = SELECTED_DEFECT_ALPHA if i == selected else CANVAS_DEFECT_ALPHA
-            sub = rgb[y : y + h, x : x + w]
+            # clip to image bounds (the reference's QImage.copy pads
+            # out-of-bounds crops; here the overlay is simply clipped)
+            x0, y0 = max(0, x), max(0, y)
+            x1, y1 = min(W, x + w), min(H, y + h)
+            if x1 <= x0 or y1 <= y0:
+                continue
+            sub = rgb[y0:y1, x0:x1]
+            my0, mx0 = y0 - y, x0 - x
+            my1, mx1 = my0 + (y1 - y0), mx0 + (x1 - x0)
             if mode in ("Segmentation", "Both"):
                 m = mask_at(seg_masks, i)
                 if m is not None:
-                    sub[:] = _blend_onto_rgb(sub, tint_mask(m, SEG_COLOR, seg_a), opacity)
+                    tint = tint_mask(m, SEG_COLOR, seg_a)[my0:my1, mx0:mx1]
+                    sub[:] = _blend_onto_rgb(sub, tint, opacity)
             if mode in ("Defect", "Both"):
                 m = mask_at(defect_masks, i)
                 if m is not None:
-                    sub[:] = _blend_onto_rgb(sub, tint_mask(m, DEFECT_COLOR, def_a), opacity)
+                    tint = tint_mask(m, DEFECT_COLOR, def_a)[my0:my1, mx0:mx1]
+                    sub[:] = _blend_onto_rgb(sub, tint, opacity)
     if draw_grid:
         for x, y, w, h in boxes:
             _draw_rect_border(rgb, x, y, w, h, GRID_COLOR, 1)
@@ -215,3 +226,98 @@ def erosion_outline_mask(seg_mask: np.ndarray, erode_px: int) -> np.ndarray | No
     )
     outline = np.asarray(largest[0]) & ~(np.asarray(inner[0]) > 0)
     return outline
+
+
+def erosion_inset_rect(
+    box: tuple[int, int, int, int], erode_px: int
+) -> tuple[int, int, int, int] | None:
+    """No-mask fallback for the erosion outline (indexing_ui.py:2555-2567):
+    the unit rect inset by erode_px on all sides, in image coordinates;
+    None when the inset collapses."""
+    ux, uy, uw, uh = (int(v) for v in box)
+    e = int(erode_px)
+    inw, inh = max(0, uw - 2 * e), max(0, uh - 2 * e)
+    if inw <= 0 or inh <= 0:
+        return None
+    return (ux + e, uy + e, inw, inh)
+
+
+def erosion_outline(
+    seg_mask: np.ndarray | None,
+    box: tuple[int, int, int, int],
+    erode_px: int,
+):
+    """Selected-unit erosion preview (update_erosion_outline,
+    indexing_ui.py:2544-2618): with a seg mask, the largest-component
+    boundary as ('mask', bool [h, w] in unit-local coords); without one,
+    the inset-rectangle fallback as ('rect', (x, y, w, h) image coords);
+    None when neither produces anything."""
+    if seg_mask is None:
+        rect = erosion_inset_rect(box, erode_px)
+        return None if rect is None else ("rect", rect)
+    outline = erosion_outline_mask(seg_mask, erode_px)
+    return None if outline is None else ("mask", outline)
+
+
+# ---------------------------------------------------------------------------
+# Thumbnail icons (refresh_thumbnail_icons, indexing_ui.py:2408-2445)
+# ---------------------------------------------------------------------------
+
+
+def _resize_bilinear(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Separable bilinear resize (Qt SmoothTransformation analogue)."""
+    ih, iw = img.shape[:2]
+    if (ih, iw) == (oh, ow):
+        return img.astype(np.float32)
+    ys = (np.arange(oh) + 0.5) * ih / oh - 0.5
+    xs = (np.arange(ow) + 0.5) * iw / ow - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, ih - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, iw - 1)
+    y1 = np.minimum(y0 + 1, ih - 1)
+    x1 = np.minimum(x0 + 1, iw - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    im = img.astype(np.float32)
+    if im.ndim == 2:
+        fy2, fx2 = fy, fx
+        top = im[y0][:, x0] * (1 - fx2) + im[y0][:, x1] * fx2
+        bot = im[y1][:, x0] * (1 - fx2) + im[y1][:, x1] * fx2
+        return top * (1 - fy2) + bot * fy2
+    fy3, fx3 = fy[..., None], fx[..., None]
+    top = im[y0][:, x0] * (1 - fx3) + im[y0][:, x1] * fx3
+    bot = im[y1][:, x0] * (1 - fx3) + im[y1][:, x1] * fx3
+    return top * (1 - fy3) + bot * fy3
+
+
+def thumbnail_icon(
+    crop: np.ndarray,
+    seg_mask: np.ndarray | None = None,
+    defect_mask: np.ndarray | None = None,
+    mode: str = "Defect",
+    size: int = 128,
+) -> np.ndarray:
+    """Per-unit 128-px overlay icon (refresh_thumbnail_icons,
+    indexing_ui.py:2408-2445): crop scaled keep-aspect to ``size``, then the
+    seg (green) / defect (red) masks scaled to the icon, binarized > 0 after
+    the smooth scale, tinted at alpha 200 and painted at 0.5 opacity
+    (_make_overlay_pixmap :2447-2466). Returns RGB uint8."""
+    ih, iw = crop.shape[:2]
+    scale = min(size / iw, size / ih)
+    ow, oh = max(1, int(iw * scale)), max(1, int(ih * scale))
+    base = np.clip(np.rint(_resize_bilinear(crop, oh, ow)), 0, 255).astype(
+        np.uint8
+    )
+    rgb = _to_rgb(base)
+    if mode == "None":
+        return rgb
+
+    def paint(mask, color):
+        scaled = _resize_bilinear(np.asarray(mask), oh, ow)
+        binary = (scaled > 0).astype(np.uint8) * 255
+        return _blend_onto_rgb(rgb, tint_mask(binary, color, 200), 0.5)
+
+    if mode in ("Segmentation", "Both") and seg_mask is not None:
+        rgb = paint(seg_mask, SEG_COLOR)
+    if mode in ("Defect", "Both") and defect_mask is not None:
+        rgb = paint(defect_mask, DEFECT_COLOR)
+    return rgb

@@ -24,7 +24,11 @@ import numpy as np
 
 from tpu_inspect import engine
 from tpu_inspect.config import DefectParams, GridParams, SegmentationParams
-from tpu_inspect.geometry import clamp_exclusion_to_base_unit, grid_boxes
+from tpu_inspect.geometry import (
+    BoxGrid,
+    clamp_exclusion_to_base_unit,
+    grid_boxes,
+)
 from tpu_inspect.persistence import (
     GridDocument,
     export_masks_and_csv,
@@ -32,6 +36,7 @@ from tpu_inspect.persistence import (
     load_grid,
     save_grid,
 )
+from tpu_inspect.utils.logging import InspectionLog
 
 
 class SessionError(RuntimeError):
@@ -50,10 +55,13 @@ class ImageState:
 class InspectionSession:
     seg_params: SegmentationParams = SegmentationParams()
     defect_params: DefectParams = DefectParams()
-    grid: GridParams | None = None
+    grid: GridParams | BoxGrid | None = None
     exclusions: list[dict] = field(default_factory=list)
     ref_centroids: dict[int, tuple[float, float]] = field(default_factory=dict)
     inspection_enabled: bool = False
+    # overlay rendering mode, default 'Defect' (indexing_ui.py:877-879)
+    overlay_mode: str = "Defect"
+    log: InspectionLog = field(default_factory=InspectionLog)
 
     _images: dict[str, np.ndarray] = field(default_factory=dict)
     _order: list[str] = field(default_factory=list)
@@ -148,11 +156,37 @@ class InspectionSession:
         del self.exclusions[idx]
         self.run_segmentation()
 
+    # -- parameter edits (exit inspection, indexing_ui.py:1305-1316) ---------
+
+    def set_seg_params(self, params: SegmentationParams) -> None:
+        """Any parameter change exits inspection mode back to overlays
+        (indexing_ui.py:1305-1316); the client debounces the re-run."""
+        self.exit_inspection()
+        self.seg_params = params
+
+    def set_defect_params(self, params: DefectParams) -> None:
+        self.exit_inspection()
+        self.defect_params = params
+
+    def exit_inspection(self, force_overlay_mode: str = "Both") -> None:
+        """Leave inspection mode and restore overlay rendering
+        (indexing_ui.py:1341-1360)."""
+        self.inspection_enabled = False
+        if force_overlay_mode:
+            self.overlay_mode = force_overlay_mode
+
     # -- passes --------------------------------------------------------------
+
+    def _crops(self) -> np.ndarray:
+        from tpu_inspect.imageio import crops_for_grid
+
+        return np.asarray(crops_for_grid(self.image, self.grid))
 
     def run_segmentation(self) -> engine.SegmentationResult:
         if self.grid is None:
             raise SessionError("no grid available")
+        # switches the overlay to Segmentation (indexing_ui.py:2207-2212)
+        self.overlay_mode = "Segmentation"
         seg_res, _ = engine.inspect_image(
             self.image,
             self.grid,
@@ -169,29 +203,105 @@ class InspectionSession:
         return seg_res
 
     def run_inspection(self) -> engine.InspectionResult:
-        """Defect pass + verdicts; auto-runs segmentation when missing
-        (indexing_ui.py:1648-1662)."""
+        """Defect pass + verdicts over the EXISTING segmentation masks;
+        segmentation is auto-run only when missing (indexing_ui.py:1641-1662
+        — the reference inspects with whatever masks are stored, even if seg
+        parameters changed since they were computed)."""
         state = self._states[self.current_path]
         if state.seg is None:
             self.run_segmentation()
-        seg_res, insp = engine.inspect_image(
-            self.image,
-            self.grid,
-            self.seg_params,
-            defect=self.defect_params,
-            exclusions=self.exclusions,
-            ref_centroids=None if self.is_reference else self.ref_centroids,
-            is_reference=self.is_reference,
+            state = self._states[self.current_path]
+        insp = engine.detect_defects_batch(
+            self._crops(), state.seg.masks, self.defect_params
         )
-        if self.is_reference:
-            self.ref_centroids = seg_res.centroid_dict()
-        state.seg = seg_res
         state.insp = insp
+        self.log.inspection_summary(
+            int(insp.verdicts.sum()), int(insp.verdicts.shape[0])
+        )
         return insp
 
     def set_inspection(self, enabled: bool) -> engine.InspectionResult | None:
-        self.inspection_enabled = bool(enabled)
-        return self.run_inspection() if enabled else None
+        """Inspection toggle (indexing_ui.py:1361-1373): ON computes and
+        shows X/O; OFF exits back to overlays."""
+        if enabled:
+            self.inspection_enabled = True
+            return self.run_inspection()
+        self.exit_inspection()
+        return None
+
+    # -- single-unit defect tuning (indexing_ui.py:1411-1469, :1305-1339) ----
+
+    def _ensure_insp_arrays(self, state: ImageState) -> engine.InspectionResult:
+        if state.insp is None:
+            u, h, w = state.seg.masks.shape
+            state.insp = engine.InspectionResult(
+                defect_masks=np.zeros((u, h, w), dtype=np.uint8),
+                valid=np.zeros((u,), dtype=bool),
+                areas=np.zeros((u,), dtype=np.int64),
+                verdicts=np.zeros((u,), dtype=bool),
+            )
+        elif not state.insp.defect_masks.flags.writeable:
+            # results fetched from device are read-only views; copy before
+            # single-unit in-place updates
+            state.insp = engine.InspectionResult(
+                defect_masks=state.insp.defect_masks.copy(),
+                valid=state.insp.valid.copy(),
+                areas=state.insp.areas.copy(),
+                verdicts=state.insp.verdicts.copy(),
+            )
+        return state.insp
+
+    def _detect_one(self, idx: int) -> tuple[np.ndarray | None, int]:
+        state = self._states[self.current_path]
+        if state.seg is None:
+            raise SessionError(
+                "no segmentation mask for this unit — run segmentation first"
+            )
+        crops = self._crops()
+        if not (0 <= idx < crops.shape[0]):
+            raise SessionError(f"unit index out of range: {idx}")
+        one = engine.detect_defects_batch(
+            crops[idx : idx + 1],
+            state.seg.masks[idx : idx + 1],
+            self.defect_params,
+        )
+        insp = self._ensure_insp_arrays(state)
+        insp.defect_masks[idx] = one.defect_masks[0]
+        insp.valid[idx] = one.valid[0]
+        insp.areas[idx] = one.areas[0]
+        insp.verdicts[idx] = one.verdicts[0]
+        mask = one.defect_masks[0] if one.valid[0] else None
+        return mask, int(one.areas[0])
+
+    def test_defect_unit(self, idx: int) -> dict:
+        """Single-unit "Test Defect Detection" (indexing_ui.py:1411-1469):
+        exits inspection mode, shows Both overlays, recomputes the unit's
+        defect mask, and logs ``Unit {row}: defect area={area} px -> NG|OK``.
+
+        Returns {'mask', 'area', 'verdict', 'found'}; the caller zooms via
+        viewport.center_on_cell (the reference's center_on_cell :1711-1752).
+        """
+        self.exit_inspection(force_overlay_mode="Both")
+        mask, area = self._detect_one(idx)
+        if mask is None:
+            self.log.log("No defects found (or detection failed).")
+        verdict = area >= int(self.defect_params.min_area)
+        self.log.unit_verdict(idx, area, int(self.defect_params.min_area))
+        return {
+            "mask": mask,
+            "area": area,
+            "verdict": "NG" if verdict else "OK",
+            "found": mask is not None,
+        }
+
+    def auto_update_defect_unit(self, idx: int) -> np.ndarray | None:
+        """Debounced live re-run body (indexing_ui.py:1324-1339): silently
+        recompute one unit's defect mask after a parameter change. The
+        scheduler exits inspection mode first (:1305-1316); call
+        set_defect_params (which exits) before this, as a UI client's
+        debounce timer does."""
+        mask, _ = self._detect_one(idx)
+        return mask
 
     def results(self, path: str | None = None) -> ImageState:
         return self._states[path or self.current_path]
