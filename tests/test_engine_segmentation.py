@@ -81,3 +81,21 @@ def test_no_exclusions_and_empty_masks():
     res = _assert_pass_matches(crops, SegmentationParams())
     assert res.masks.sum() == 0
     assert not res.centroid_valid.any()
+
+
+def test_pack_exclusions_pads_to_power_of_two():
+    """Exclusion arrays pad to power-of-two capacity with no-op entries so
+    add/delete rarely recompiles (engine docstring contract)."""
+    from tpu_inspect.engine import pack_exclusions
+
+    r3 = [{"shape": "rect", "x": i, "y": i, "w": 2, "h": 2} for i in range(3)]
+    rects, circles = pack_exclusions(r3)
+    assert rects.shape == (4, 4)
+    assert (rects[3] == 0).all()  # degenerate no-op rect
+    assert circles.shape == (0, 3)
+    rects1, circles1 = pack_exclusions(
+        [{"shape": "circle", "cx": 5, "cy": 5, "r": 2}]
+    )
+    assert rects1.shape == (0, 4) and circles1.shape == (1, 3)
+    rects0, circles0 = pack_exclusions([])
+    assert rects0.shape == (0, 4) and circles0.shape == (0, 3)

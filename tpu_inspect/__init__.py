@@ -5,9 +5,9 @@ inspection tool (reference: hazernest/Vision-Inspection-system-Segmentation-
 using-classical-computer-vision-) as batched, bit-exact device pipelines:
 
 - grid indexing of units on a mold image      (:mod:`tpu_inspect.geometry`)
-- per-unit segmentation (Otsu / adaptive)     (:mod:`tpu_inspect.models.segmentation`)
+- per-unit segmentation (Otsu / adaptive)     (:mod:`tpu_inspect.engine`)
 - rect/circle exclusion zones + alignment     (:mod:`tpu_inspect.engine`)
-- foreign-material defect detection           (:mod:`tpu_inspect.models.defect`)
+- foreign-material defect detection           (:mod:`tpu_inspect.engine`)
 - X/O (NG/OK) inspection verdicts             (:mod:`tpu_inspect.engine`)
 - grid JSON / masks+CSV import-export         (:mod:`tpu_inspect.persistence`)
 

@@ -8,10 +8,12 @@ function over a [units, H, W] uint8 tensor:
     -> largest-component centroid (alignment) -> exclusion masks
 
 All ops are bit-exact vs OpenCV (see tpu_inspect.ops). Static pipeline
-configuration (method, kernel sizes, exclusion count) specializes the
-compiled program; per-capture data (crops, exclusion geometry, alignment
-anchors) are device arrays, so editing an exclusion or switching images
-does NOT recompile.
+configuration (method, kernel sizes, exclusion array capacity) specializes
+the compiled program; per-capture data (crops, exclusion geometry,
+alignment anchors) are device arrays, so editing an exclusion's geometry or
+switching images does NOT recompile. Exclusion arrays are padded to
+power-of-two capacities (pack_exclusions), so adding/deleting exclusions
+recompiles only when the count crosses a power of two.
 """
 
 from __future__ import annotations
@@ -53,6 +55,11 @@ def pack_exclusions(exclusions) -> tuple[np.ndarray, np.ndarray]:
     Malformed entries are dropped, zero-size rects / r<=0 circles kept (they
     apply as no-ops exactly like the reference's bounds checks,
     indexing_ui.py:2325, :2332).
+
+    The arrays are padded to the next power-of-two capacity with degenerate
+    no-op entries (w=h=0 rects, r=0 circles): exclusion_zone unrolls over
+    the static row count, so padding means add/delete only recompiles the
+    pipeline when the count crosses a power of two, not on every edit.
     """
     rects, circles = [], []
     for e in exclusions or ():
@@ -67,6 +74,12 @@ def pack_exclusions(exclusions) -> tuple[np.ndarray, np.ndarray]:
                 )
         except (AttributeError, TypeError, ValueError):
             continue
+
+    def cap(n: int) -> int:
+        return 0 if n == 0 else 1 << (n - 1).bit_length()
+
+    rects += [[0, 0, 0, 0]] * (cap(len(rects)) - len(rects))
+    circles += [[0, 0, 0]] * (cap(len(circles)) - len(circles))
     return (
         np.array(rects, dtype=np.int32).reshape(-1, 4),
         np.array(circles, dtype=np.int32).reshape(-1, 3),
