@@ -88,3 +88,131 @@ def test_full_pipeline_tpu_parity():
     np.testing.assert_array_equal(seg_res.masks, ref_masks)
     np.testing.assert_array_equal(insp.areas, ref_areas)
     np.testing.assert_array_equal(insp.verdicts, ref_verd)
+
+
+def test_pallas_component_stats_parity():
+    """largest_component on TPU (root-enumeration kernel) vs cv2, including
+    the block-raster area tie-break and exact integer centroid sums."""
+    import cv2
+    import jax.numpy as jnp
+
+    from tpu_inspect.ops import cc
+
+    rng = np.random.RandomState(0)
+    for h, w in [(40, 44), (8, 128), (30, 200)]:
+        fg = rng.rand(6, h, w) > 0.55
+        fg[0] = False
+        fg[0, 3:7, 0:3] = True     # tie: block (1,0)
+        fg[0, 2:8, 28:30] = True   # tie: block (1,14) — cv2 picks the first
+        mask, area, sx, sy, has = cc.largest_component_sums(jnp.asarray(fg))
+        mask, area, sx, sy = map(np.asarray, (mask, area, sx, sy))
+        for i in range(6):
+            n, lab, stats, _ = cv2.connectedComponentsWithStats(
+                fg[i].astype(np.uint8), connectivity=8
+            )
+            if n <= 1:
+                assert not bool(has[i])
+                continue
+            best = 1 + int(np.argmax(stats[1:, cv2.CC_STAT_AREA]))
+            np.testing.assert_array_equal(mask[i], lab == best)
+            ys, xs = np.nonzero(lab == best)
+            assert area[i] == len(xs) and sx[i] == xs.sum() and sy[i] == ys.sum()
+
+
+def test_pallas_blob_select_parity():
+    """Blob filter kernel vs the XLA sort-based path (forced by passing a
+    traced min_area) across min/max sweeps."""
+    import jax.numpy as jnp
+
+    from tpu_inspect.ops import contour
+
+    rng = np.random.RandomState(3)
+    for h, w in [(40, 44), (31, 127)]:
+        fg = rng.rand(5, h, w) > 0.8
+        for i in range(5):
+            for _ in range(5):
+                y, x = rng.randint(0, h - 6), rng.randint(0, w - 6)
+                fg[i, y : y + 5, x : x + 5] = True
+        maxs = jnp.asarray(rng.randint(10, 2 * h * w, size=5), dtype=jnp.int32)
+        for mn in (0, 2, 40):
+            out_p, found_p = contour.filter_and_select(jnp.asarray(fg), mn, maxs)
+            out_x, found_x = contour.filter_and_select(
+                jnp.asarray(fg), jnp.int32(mn), maxs
+            )
+            np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_x))
+            np.testing.assert_array_equal(np.asarray(found_p), np.asarray(found_x))
+
+
+def test_pallas_median_residual_mask_parity():
+    """Direct parity for the fused median-residual kernel incl. degenerate
+    thresholds (VERDICT round-1 item 6)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from tpu_inspect.ops.median_pallas import median_residual_mask_pallas
+
+    imgs = np.random.RandomState(1).randint(0, 256, (3, 50, 57), dtype=np.uint8)
+    for k in (3, 21):
+        for thr in (0, 1, 24, 254, 255):
+            ref = []
+            for im in imgs:
+                bg = cv2.medianBlur(im, k)
+                resid = cv2.absdiff(im, bg)
+                _, m = cv2.threshold(resid, thr, 255, cv2.THRESH_BINARY)
+                ref.append(m)
+            ours = np.asarray(median_residual_mask_pallas(jnp.asarray(imgs), k, thr))
+            np.testing.assert_array_equal(ours, np.stack(ref), err_msg=f"k={k} thr={thr}")
+
+
+def test_pallas_propagate_conn4_conn8():
+    """propagate_pallas vs the XLA sweep fixpoint for both connectivities
+    (VERDICT round-1 item 6), incl. w=128 tile boundary and h<8."""
+    import jax.numpy as jnp
+
+    from tpu_inspect.ops.flood_pallas import propagate_pallas
+    from tpu_inspect.ops.hole_fill import _axis_sweep
+
+    def xla_reach(seed, dom, conn8):
+        import jax
+
+        def dilate(m):
+            p = jnp.pad(m, ((0, 0), (1, 1), (1, 1)))
+            win = (1, 3, 3)
+            out = jax.lax.reduce_window(
+                p, False, jax.lax.bitwise_or, win, (1, 1, 1), "VALID"
+            )
+            if not conn8:
+                # plus-shaped: row/col sweeps below handle it; dilate with
+                # 4-neighborhood only
+                out = (
+                    m
+                    | jnp.pad(m, ((0, 0), (1, 0), (0, 0)))[:, :-1, :]
+                    | jnp.pad(m, ((0, 0), (0, 1), (0, 0)))[:, 1:, :]
+                    | jnp.pad(m, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+                    | jnp.pad(m, ((0, 0), (0, 0), (0, 1)))[:, :, 1:]
+                )
+            return out
+
+        def cond(c):
+            return c[1]
+
+        def body(c):
+            r, _ = c
+            new = dilate(r) & dom
+            new = _axis_sweep(new, dom, axis=2)
+            new = _axis_sweep(new, dom, axis=1)
+            return new, (new != r).any()
+
+        import jax.lax as lax
+
+        r, _ = jax.lax.while_loop(cond, body, (seed & dom, jnp.bool_(True)))
+        return r
+
+    rng = np.random.RandomState(9)
+    for h, w in [(45, 53), (16, 128), (6, 140)]:
+        dom = rng.rand(4, h, w) > 0.35
+        seed = (rng.rand(4, h, w) > 0.97) & dom
+        for conn8 in (False, True):
+            ours = np.asarray(propagate_pallas(jnp.asarray(seed), jnp.asarray(dom), conn8))
+            ref = np.asarray(xla_reach(jnp.asarray(seed), jnp.asarray(dom), conn8))
+            np.testing.assert_array_equal(ours, ref, err_msg=f"{h}x{w} conn8={conn8}")

@@ -86,6 +86,20 @@ def pack_exclusions(exclusions) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+def centroids_from_sums(sums: np.ndarray) -> np.ndarray:
+    """[U, 3] integer (sx, sy, area) -> exact f64 mean centroids [U, 2].
+
+    Division happens here on the host because TPU float64 is emulated and
+    its quotient is a few ulps off correctly-rounded — persisted anchors
+    must bit-match the reference's numpy means (segmentation.py:103-111)."""
+    sums = np.asarray(sums)
+    cnt = np.maximum(sums[:, 2], 1).astype(np.float64)
+    return np.stack(
+        [sums[:, 0].astype(np.float64) / cnt, sums[:, 1].astype(np.float64) / cnt],
+        axis=-1,
+    )
+
+
 def ref_centroid_arrays(
     ref_centroids, u: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -184,7 +198,7 @@ def _segment_device(
     mask = raw_segment(crops, seg)
     pre_excl = mask > 0
     with jax.named_scope("seg_centroid"):
-        _, _, centroid, has_fg = cc.largest_component(pre_excl)
+        _, area, sx, sy, has_fg = cc.largest_component_sums(pre_excl)
 
     u = crops.shape[0]
     if is_reference:
@@ -192,7 +206,15 @@ def _segment_device(
         dy = jnp.zeros((u,), dtype=jnp.int32)
     else:
         # dx, dy = int(round(c1 - c0)): Python round() == banker's rounding,
-        # which jnp.rint matches (indexing_ui.py:2310-2311).
+        # which jnp.rint matches (indexing_ui.py:2310-2311). The division
+        # is in-pipeline only (anchors are divided exactly on the host);
+        # on TPU the emulated-f64 quotient can be ~1e-14 relative off,
+        # which matters only when c1-c0 sits exactly on a .5 boundary.
+        cnt = jnp.maximum(area, 1).astype(jnp.float64)
+        centroid = jnp.stack(
+            [sx.astype(jnp.float64) / cnt, sy.astype(jnp.float64) / cnt],
+            axis=-1,
+        )
         ok = ref_valid & has_fg
         delta = jnp.rint(centroid - ref_centroids).astype(jnp.int32)
         dx = jnp.where(ok, delta[:, 0], 0)
@@ -201,7 +223,17 @@ def _segment_device(
     if rects.shape[0] or circles.shape[0]:
         zone = exclusion_zone(shape_hw, rects, circles, dx, dy)
         mask = jnp.where(zone, jnp.uint8(0), mask)
-    return mask, centroid, has_fg, jnp.stack([dx, dy], axis=-1)
+    # centroid sums stay integers: the host divides them exactly (TPU f64
+    # division is emulated and inexact; anchors must be bit-exact)
+    sums = jnp.stack(
+        [
+            sx.astype(jnp.int64),
+            sy.astype(jnp.int64),
+            area.astype(jnp.int64),
+        ],
+        axis=-1,
+    )
+    return mask, sums, has_fg, jnp.stack([dx, dy], axis=-1)
 
 
 def segment_units(
@@ -223,7 +255,7 @@ def segment_units(
     rects, circles = pack_exclusions(exclusions)
     ref_arr, ref_ok = ref_centroid_arrays(ref_centroids, u)
 
-    mask, centroid, has_fg, shifts = _segment_device(
+    mask, sums, has_fg, shifts = _segment_device(
         crops,
         jnp.asarray(rects),
         jnp.asarray(circles),
@@ -235,7 +267,7 @@ def segment_units(
     )
     return SegmentationResult(
         masks=np.asarray(mask),
-        centroids=np.asarray(centroid),
+        centroids=centroids_from_sums(sums),
         centroid_valid=np.asarray(has_fg),
         shifts=np.asarray(shifts),
     )
@@ -465,10 +497,10 @@ def inspect_image(
         unit_hw=(h, w),
         with_defects=defect is not None,
     )
-    mask, centroid, has_fg, shifts, defect_out = out
+    mask, sums, has_fg, shifts, defect_out = out
     seg_res = SegmentationResult(
         masks=np.asarray(mask),
-        centroids=np.asarray(centroid),
+        centroids=centroids_from_sums(sums),
         centroid_valid=np.asarray(has_fg),
         shifts=np.asarray(shifts),
     )

@@ -1,0 +1,188 @@
+"""Pallas TPU kernel for the defect blob filter (contourArea + selection).
+
+Replaces the sort-based reduction in ops.contour.filter_and_select on TPU:
+per unit, the fill-region labels and the top-blob/exterior state stay in
+VMEM while top-level blobs are enumerated sequentially (each root is the
+unique pixel with label == own linear index). Per root, the Green's-theorem
+2x contour area is a masked sum of the crack-vertex contribution plane
+(derived 81-config table, see ops.contour), the min<=area<=max decision is
+a scalar compare, and kept blobs paint their whole fill region (blob +
+enclosed holes/nested content — filled drawContours semantics,
+indexing_ui.py:1540-1558) with a vector select. No sort, no scatter, no
+final flood.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_inspect.ops._contour_table import CONTOUR_TABLE_X2
+from tpu_inspect.ops.cc_pallas import _BIG, _shift2d, _sum_i32
+
+
+def _select_kernel(
+    max_hbm,
+    lab_hbm,
+    pk_hbm,
+    out_hbm,
+    lab_buf,
+    pk_buf,
+    out_buf,
+    sem_a,
+    sem_b,
+    sem_out,
+    *,
+    u: int,
+    h: int,
+    w: int,
+    min_x2: int,
+):
+    hp, wp = lab_buf.shape
+    tbl = np.asarray(CONTOUR_TABLE_X2)
+
+    def unit_body(ui, carry):
+        cp_a = pltpu.make_async_copy(lab_hbm.at[ui], lab_buf, sem_a)
+        cp_b = pltpu.make_async_copy(pk_hbm.at[ui], pk_buf, sem_b)
+        cp_a.start()
+        cp_b.start()
+        cp_a.wait()
+        cp_b.wait()
+        lab = lab_buf[:, :]
+        pk = pk_buf[:, :].astype(jnp.int32)
+        top = (pk & 1) > 0
+        ext = (pk & 2) > 0
+
+        # crack-vertex config: vertex (y, x) sees pixels (y-1..y, x-1..x);
+        # out-of-plane reads are exterior (state 1), matching the padded
+        # construction in ops.contour.analyze_blobs
+        state = jnp.where(top, jnp.int32(2), ext.astype(jnp.int32))
+        s00 = _shift2d(state, -1, -1, np.int32(1))
+        s01 = _shift2d(state, -1, 0, np.int32(1))
+        s10 = _shift2d(state, 0, -1, np.int32(1))
+        cfg = s00 + 3 * s01 + 9 * s10 + 27 * state
+
+        def coef(col):
+            out = jnp.zeros((hp, wp), dtype=jnp.int32)
+            for c in np.nonzero(tbl[:, col] == 1)[0]:
+                out = out + (cfg == int(c)).astype(jnp.int32)
+            for c in np.nonzero(tbl[:, col] == -1)[0]:
+                out = out - (cfg == int(c)).astype(jnp.int32)
+            return out
+
+        yy = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+        contrib = coef(0) + coef(1) * xx + coef(2) * yy
+
+        # vertex -> top-blob attribution (top blobs are never 8-adjacent,
+        # so at most one per vertex)
+        labt = jnp.where(top, lab, jnp.int32(-1))
+        attr = jnp.maximum(
+            jnp.maximum(
+                _shift2d(labt, -1, -1, np.int32(-1)),
+                _shift2d(labt, -1, 0, np.int32(-1)),
+            ),
+            jnp.maximum(_shift2d(labt, 0, -1, np.int32(-1)), labt),
+        )
+
+        lin = yy * w + xx
+        rootf = jnp.where(top & (lab == lin), lin, _BIG)
+        # per-unit scalar broadcast into an (8,128) tile; any reduction
+        # recovers it (scalar extraction from vectors is fragile in Mosaic)
+        max_x2 = max_hbm[pl.ds(ui, 1), :, :].max()
+
+        def next_root(r):
+            return jnp.where(rootf > r, rootf, _BIG).min()
+
+        def cond(c):
+            return c[0] < _BIG
+
+        def body(c):
+            nxt, out = c
+            s = _sum_i32(jnp.where(attr == nxt, contrib, jnp.int32(0)))
+            a2 = jnp.abs(s)
+            keep = (a2 >= jnp.int32(min_x2)) & (a2 <= max_x2)
+            out = jnp.where(keep & (lab == nxt), jnp.int32(1), out)
+            return next_root(nxt), out
+
+        _, out = jax.lax.while_loop(
+            cond,
+            body,
+            (next_root(jnp.int32(-1)), jnp.zeros((hp, wp), jnp.int32)),
+        )
+        out_buf[:, :] = out.astype(jnp.uint8)
+        cp_out = pltpu.make_async_copy(out_buf, out_hbm.at[ui], sem_out)
+        cp_out.start()
+        cp_out.wait()
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(u), unit_body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("min_x2", "h", "w"))
+def blob_select_pallas(
+    fill_labels: jnp.ndarray,
+    top: jnp.ndarray,
+    ext: jnp.ndarray,
+    max_x2: jnp.ndarray,
+    *,
+    min_x2: int,
+    h: int,
+    w: int,
+) -> jnp.ndarray:
+    """fill_labels [U,H,W] i32 (BIG on exterior), top/ext [U,H,W] bool,
+    max_x2 [U] i32 -> kept filled mask [U,H,W] bool (2x-contourArea filter
+    min_x2 <= |area| <= max_x2 per top-level blob)."""
+    u = fill_labels.shape[0]
+    # vertex rows/cols reach h and w: pad past them
+    hp = -(-(h + 1) // 8) * 8
+    wp = -(-(w + 1) // 128) * 128
+    lab_p = jnp.pad(
+        fill_labels, ((0, 0), (0, hp - h), (0, wp - w)), constant_values=_BIG
+    )
+    packed = top.astype(jnp.uint8) | (ext.astype(jnp.uint8) << 1)
+    pk_p = jnp.pad(
+        packed, ((0, 0), (0, hp - h), (0, wp - w)), constant_values=2
+    )
+    max_b = jnp.broadcast_to(
+        max_x2.astype(jnp.int32)[:, None, None], (u, 8, 128)
+    )
+    kernel = functools.partial(
+        _select_kernel, u=u, h=h, w=w, min_x2=int(min_x2)
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((u, hp, wp), jnp.uint8),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.int32),
+            pltpu.VMEM((hp, wp), jnp.uint8),
+            pltpu.VMEM((hp, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(max_b, lab_p, pk_p)
+    return out[:, :h, :w] > 0
+
+
+def blob_select_fits(shape) -> bool:
+    _, h, w = shape
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    hp = -(-(h + 1) // 8) * 8
+    wp = -(-(w + 1) // 128) * 128
+    # contourArea 2x sums and lin fit int32 comfortably for unit crops
+    return on_tpu and h * w < 2**24 and 10 * hp * wp * 4 < 12 * 2**20

@@ -151,17 +151,20 @@ def _run_geometry(sorted_keys: jnp.ndarray):
     return run_start, next_start, newrun
 
 
-def largest_component(fg: jnp.ndarray):
-    """Largest 8-connected component per unit.
+def largest_component_sums(fg: jnp.ndarray):
+    """Largest 8-connected component per unit, with integer centroid sums.
 
-    Returns (mask [U,H,W] bool, area [U] int32, centroid [U,2] f64 (cx, cy),
-    has_fg [U] bool). Centroid is the float64 mean of member coordinates,
-    matching _largest_component_centroid (indexing_ui.py:2235-2248); it is
-    (0, 0) when the unit has no foreground.
+    Returns (mask [U,H,W] bool, area [U] int, sx [U] int, sy [U] int,
+    has_fg [U] bool) where sx/sy are the EXACT coordinate sums of the
+    component's pixels. Callers that need the reference's float64 mean
+    centroid (indexing_ui.py:2235-2248) should divide on the HOST:
+    TPU float64 is software-emulated and its division is several ulps off
+    correctly-rounded, so device-side division would leak into persisted
+    anchors (use :func:`largest_component` only for in-pipeline values).
 
-    Implementation: sort the labels and reduce run lengths — TPU sorts are
-    several times cheaper than the big scatter-add a per-root histogram
-    would need.
+    Implementation: on TPU a Pallas kernel enumerates component roots with
+    VMEM-resident reductions (ops.cc_pallas.component_stats_pallas); the
+    fallback sorts the labels and reduces run lengths.
 
     Area ties follow OpenCV exactly: cv2.connectedComponentsWithStats
     (BBDT/Spaghetti, 8-connectivity) numbers components by first appearance
@@ -176,6 +179,13 @@ def largest_component(fg: jnp.ndarray):
     u, h, w = fg.shape
     hw = h * w
     labels = label_components(fg)
+
+    from tpu_inspect.ops.cc_pallas import component_stats_pallas, stats_fits
+
+    if stats_fits(fg.shape):
+        # TPU: sequential-over-roots VMEM reduction (no [U, H*W] sort)
+        return component_stats_pallas(labels, h=h, w=w)
+
     yy = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 1)
     xx = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 2)
     bw = (w + 1) // 2
@@ -210,15 +220,29 @@ def largest_component(fg: jnp.ndarray):
     area = max_len
     xs = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 2)
     ys = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 1)
-    cnt = jnp.maximum(area, 1).astype(jnp.float64)
     # coordinate sums are exact integers; int32 when they provably fit,
-    # else int64 (single-unit whole-image crops). The f64 division then
-    # matches np.mean over exactly-representable integers bit for bit.
+    # else int64 (single-unit whole-image crops)
     sum_dtype = jnp.int32 if max(h, w) * h * w < 2**31 else jnp.int64
     sx = jnp.where(best_mask, xs, 0).sum(axis=(1, 2), dtype=sum_dtype)
     sy = jnp.where(best_mask, ys, 0).sum(axis=(1, 2), dtype=sum_dtype)
+    has_fg = fg.any(axis=(1, 2))
+    return best_mask, area, sx, sy, has_fg
+
+
+def largest_component(fg: jnp.ndarray):
+    """Largest 8-connected component per unit, with the f64 mean centroid.
+
+    Returns (mask [U,H,W] bool, area [U] int32, centroid [U,2] f64 (cx, cy),
+    has_fg [U] bool); centroid is (0, 0) when the unit has no foreground.
+
+    NOTE: the division runs on-device; on TPU, float64 is emulated and the
+    quotient can be a few ulps off correctly-rounded. Use
+    :func:`largest_component_sums` + host division when the centroid is
+    persisted or compared bit-exactly (alignment anchors do this).
+    """
+    best_mask, area, sx, sy, has_fg = largest_component_sums(fg)
+    cnt = jnp.maximum(area, 1).astype(jnp.float64)
     cx = sx.astype(jnp.float64) / cnt
     cy = sy.astype(jnp.float64) / cnt
-    has_fg = fg.any(axis=(1, 2))
     centroid = jnp.stack([cx, cy], axis=-1)
     return best_mask, area, centroid, has_fg

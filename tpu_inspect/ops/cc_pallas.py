@@ -27,6 +27,23 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = np.int32(2**30)
 
 
+def _sum_i32(x):
+    """All-elements int32 sum of a 2D plane.
+
+    Mosaic rejects integer add-reductions on this target (they lower
+    through an unsupported 64-bit convert), while min/max reductions work.
+    So: 2D inclusive prefix sum via log-step shifts, then extract the
+    bottom-right corner (== the total, signed-safe) with a masked max.
+    """
+    hp, wp = x.shape
+    s = _prefix_sum(x, axis=0, reverse=False)
+    s = _prefix_sum(s, axis=1, reverse=False)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    corner = (yy == hp - 1) & (xx == wp - 1)
+    return jnp.where(corner, s, -_BIG).max()
+
+
 def _shift2d(a, dy, dx, fill):
     """a[y, x] <- a[y + dy, x + dx], out-of-range = fill (static shifts)."""
     h, w = a.shape
@@ -99,12 +116,15 @@ def _label_kernel(x_ref, out_ref, scratch_ref, sem, *, u: int, h: int, w: int, k
         # int32 labels for the whole batch exceed VMEM: DMA per unit to HBM.
         # Scratch/out are tile-padded (8, 128) for DMA alignment.
         hp, wp = scratch_ref.shape
-        lab_p = jnp.concatenate(
-            [lab, jnp.full((hp - h, w), _BIG, jnp.int32)], axis=0
-        )
-        lab_p = jnp.concatenate(
-            [lab_p, jnp.full((hp, wp - w), _BIG, jnp.int32)], axis=1
-        )
+        lab_p = lab
+        if hp > h:
+            lab_p = jnp.concatenate(
+                [lab_p, jnp.full((hp - h, w), _BIG, jnp.int32)], axis=0
+            )
+        if wp > w:
+            lab_p = jnp.concatenate(
+                [lab_p, jnp.full((hp, wp - w), _BIG, jnp.int32)], axis=1
+            )
         scratch_ref[:, :] = lab_p
         copy = pltpu.make_async_copy(scratch_ref, out_ref.at[ui], sem)
         copy.start()
@@ -125,6 +145,144 @@ def _prefix_sum(a, axis, reverse):
         a = a + sh
         s *= 2
     return a
+
+
+def _stats_kernel(
+    lab_hbm, mask_out, stats_out, lab_buf, mask_buf, sem_in, sem_out,
+    *, u: int, h: int, w: int
+):
+    """Per-unit largest-component selection + stats, labels VMEM-resident.
+
+    Enumerates component roots sequentially (each root is the unique pixel
+    with label == own linear index) with vectorized full-plane compares and
+    reductions per root — no sort, no scatter. cv2's area tie-break (2x2
+    block raster order of first appearance, BBDT numbering) is reproduced
+    via the min block-rank of each candidate (see ops.cc.largest_component).
+    """
+    hp, wp = lab_buf.shape
+    bw2 = (w + 1) // 2
+
+    def unit_body(ui, carry):
+        cp = pltpu.make_async_copy(lab_hbm.at[ui], lab_buf, sem_in)
+        cp.start()
+        cp.wait()
+        lab = lab_buf[:, :]
+        fgm = lab < _BIG
+        yy = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+        lin = yy * w + xx
+        rootf = jnp.where(fgm & (lab == lin), lin, _BIG)
+        br = ((yy >> 1) * bw2 + (xx >> 1)) * 4 + (yy & 1) * 2 + (xx & 1)
+
+        def next_root(r):
+            return jnp.where(rootf > r, rootf, _BIG).min()
+
+        def cond(c):
+            return c[0] < _BIG
+
+        def body(c):
+            nxt, b_root, b_area, b_tie = c
+            member = lab == nxt
+            area = _sum_i32(member.astype(jnp.int32))
+            tie = jnp.where(member, br, _BIG).min()
+            better = (area > b_area) | ((area == b_area) & (tie < b_tie))
+            b_root = jnp.where(better, nxt, b_root)
+            b_area = jnp.where(better, area, b_area)
+            b_tie = jnp.where(better, tie, b_tie)
+            return next_root(nxt), b_root, b_area, b_tie
+
+        _, best_root, best_area, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (next_root(jnp.int32(-1)), _BIG, jnp.int32(0), _BIG),
+        )
+        bm = fgm & (lab == best_root)
+        bmi = bm.astype(jnp.int32)
+        sx = _sum_i32(bmi * xx)
+        sy = _sum_i32(bmi * yy)
+
+        # every operand explicitly int32: weak-typed Python literals become
+        # int64 under the global x64 flag, and 64-bit converts recurse /
+        # fail inside Mosaic's lowering
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+        z = jnp.zeros((1, 8, 128), jnp.int32)
+        has_i = jnp.where(best_area > 0, jnp.int32(1), jnp.int32(0))
+        row = (
+            jnp.where(lane == 0, best_area, z)
+            + jnp.where(lane == 1, sx, z)
+            + jnp.where(lane == 2, sy, z)
+            + jnp.where(lane == 3, has_i, z)
+        )
+        stats_out[pl.ds(ui, 1), :, :] = row
+        # bool -> uint8 recurses forever in Mosaic's convert helper; go
+        # through int32 (both hops are supported)
+        mask_buf[:, :] = bmi.astype(jnp.uint8)
+        cp_out = pltpu.make_async_copy(mask_buf, mask_out.at[ui], sem_out)
+        cp_out.start()
+        cp_out.wait()
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(u), unit_body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def component_stats_pallas(labels: jnp.ndarray, *, h: int, w: int):
+    """labels: [U, H, W] int32 min-index component labels (BIG on bg) ->
+    (best_mask [U, H, W] bool, area [U] i32, sx [U] i32, sy [U] i32,
+    has_fg [U] bool) for the largest 8-connected component per unit with
+    OpenCV's block-raster area tie-break.
+
+    Gate with ``stats_fits`` (int32 coordinate sums require
+    max(h, w) * h * w < 2^31)."""
+    u = labels.shape[0]
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    lab_p = jnp.pad(
+        labels, ((0, 0), (0, hp - h), (0, wp - w)), constant_values=_BIG
+    )
+    kernel = functools.partial(_stats_kernel, u=u, h=h, w=w)
+    mask, stats = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((u, hp, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((u, 8, 128), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.int32),
+            pltpu.VMEM((hp, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(lab_p)
+    return (
+        mask[:, :h, :w] > 0,
+        stats[:, 0, 0],
+        stats[:, 0, 1],
+        stats[:, 0, 2],
+        stats[:, 0, 3] > 0,
+    )
+
+
+def stats_fits(shape) -> bool:
+    """Whether component_stats_pallas applies (TPU, int32-safe sums,
+    per-unit plane in VMEM)."""
+    _, h, w = shape
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    return (
+        on_tpu
+        and max(h, w) * h * w < 2**31
+        and 8 * hp * wp * 4 < 12 * 2**20
+    )
 
 
 @jax.jit

@@ -202,6 +202,22 @@ def filter_and_select(
     fg_labels = cc.label_components(fg)
     top = fg & (fg_labels == fill_labels)
 
+    from tpu_inspect.ops.blob_pallas import blob_select_fits, blob_select_pallas
+
+    if blob_select_fits(fg.shape) and isinstance(min_area_x2, int):
+        # TPU: sequential-over-blobs VMEM reduction — no sorts, no final
+        # flood (kept blobs paint their whole fill region directly)
+        out = blob_select_pallas(
+            fill_labels,
+            top,
+            ext,
+            jnp.asarray(max_area_x2, dtype=jnp.int32),
+            min_x2=min_area_x2,
+            h=h,
+            w=w,
+        )
+        return out, out.any(axis=(1, 2))
+
     state = jnp.where(top, jnp.int32(2), jnp.where(ext, jnp.int32(1), jnp.int32(0)))
     sp = jnp.pad(state, ((0, 0), (1, 1), (1, 1)), constant_values=1)
     cfg = (

@@ -35,6 +35,7 @@ from tpu_inspect.engine import (
     SegmentationResult,
     _defect_device,
     _segment_device,
+    centroids_from_sums,
     pack_exclusions,
     ref_centroid_arrays,
 )
@@ -88,7 +89,7 @@ def _sharded_inspect(
     ref_valid = jax.lax.with_sharding_constraint(
         ref_valid, NamedSharding(mesh, P(unit_axis))
     )
-    masks, centroid, has_fg, shifts = _segment_device(
+    masks, sums, has_fg, shifts = _segment_device(
         crops,
         rects,
         circles,
@@ -102,7 +103,7 @@ def _sharded_inspect(
         masks, NamedSharding(mesh, P(unit_axis, None, None))
     )
     dmasks, found, area, verdict = _defect_device(crops, masks, params=defect)
-    return masks, centroid, has_fg, shifts, dmasks, found, area, verdict
+    return masks, sums, has_fg, shifts, dmasks, found, area, verdict
 
 
 def inspect_units_sharded(
@@ -140,7 +141,7 @@ def inspect_units_sharded(
         )
     spec = NamedSharding(mesh, P("unit", None, None))
     arr = jax.device_put(jnp.asarray(crops, dtype=jnp.uint8), spec)
-    masks, centroid, has_fg, shifts, dmasks, found, area, verdict = (
+    masks, sums, has_fg, shifts, dmasks, found, area, verdict = (
         _sharded_inspect(
             arr,
             jnp.asarray(rects),
@@ -155,7 +156,7 @@ def inspect_units_sharded(
     )
     seg_res = SegmentationResult(
         masks=np.asarray(masks)[:n],
-        centroids=np.asarray(centroid)[:n],
+        centroids=centroids_from_sums(sums)[:n],
         centroid_valid=np.asarray(has_fg)[:n],
         shifts=np.asarray(shifts)[:n],
     )
@@ -211,7 +212,7 @@ def _sharded_image_batch(
     )
     refc = jnp.tile(ref_centroids, (b, 1))
     refv = jnp.tile(ref_valid, (b,))
-    masks, centroid, has_fg, shifts = _segment_device(
+    masks, _sums, has_fg, shifts = _segment_device(
         crops, rects, circles, refc, refv,
         seg=seg, is_reference=is_reference, shape_hw=unit_hw,
     )
