@@ -26,6 +26,71 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def main_config1():
+    """BASELINE config 1: one whole-image 4096x3000 crop through the
+    segmentation chain (strip-tiled flood kernel). `python bench.py config1`."""
+    import cv2
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_inspect.config import SegmentationParams
+    from tpu_inspect.engine import raw_segment
+    from tpu_inspect import oracle
+    from tpu_inspect.synthetic import make_mold_image, sample_grid_params
+
+    grid = sample_grid_params()
+    image = make_mold_image(grid, (3000, 4096), seed=0, defect_rate=0.3)
+    seg = SegmentationParams().validated()
+
+    cv2.setNumThreads(1)
+    t0 = time.perf_counter()
+    ref = oracle.segment_unit(image, seg)
+    cpu_ms = (time.perf_counter() - t0) * 1000.0
+    log(f"CPU baseline (1 core, OpenCV segment_cell): {cpu_ms:.1f} ms")
+
+    x = jnp.asarray(image)[None]
+    f = jax.jit(lambda a: raw_segment(a, seg))
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(f(x))
+    log(f"compile+first: {time.perf_counter() - t0:.1f} s on {jax.devices()[0]}")
+    parity = bool((np.asarray(out[0]) == ref).all())
+    log(f"parity: masks_exact={parity}")
+
+    N = 4
+
+    def chained(a):
+        def body(i, c):
+            m = raw_segment(c[0], seg)
+            bump = (m.sum(dtype=jnp.int32) & 1).astype(jnp.uint8)
+            return c[0] ^ bump, c[1] + m.sum(dtype=jnp.int32)
+
+        return jax.lax.fori_loop(0, N, body, (a, jnp.int32(0)))[1]
+
+    fc = jax.jit(chained)
+    t0 = time.perf_counter()
+    int(np.asarray(fc(x)))
+    log(f"chained-{N} compile+first: {time.perf_counter() - t0:.1f} s")
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        int(np.asarray(fc(x)))
+        times.append((time.perf_counter() - t0) * 1000.0 / N)
+    tpu_ms = float(np.median(times))
+    log(f"TPU steady-state: {tpu_ms:.2f} ms (min {min(times):.2f})")
+    value = tpu_ms if parity else float("inf")
+    print(
+        json.dumps(
+            {
+                "metric": "single_unit_4096x3000_segmentation_ms",
+                "value": round(value, 3),
+                "unit": "ms",
+                "vs_baseline": round(cpu_ms / value, 2) if value > 0 else 0.0,
+            }
+        )
+    )
+
+
 def main():
     import cv2
 
@@ -141,4 +206,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "config1":
+        main_config1()
+    else:
+        main()

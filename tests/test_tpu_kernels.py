@@ -216,3 +216,78 @@ def test_pallas_propagate_conn4_conn8():
             ours = np.asarray(propagate_pallas(jnp.asarray(seed), jnp.asarray(dom), conn8))
             ref = np.asarray(xla_reach(jnp.asarray(seed), jnp.asarray(dom), conn8))
             np.testing.assert_array_equal(ours, ref, err_msg=f"{h}x{w} conn8={conn8}")
+
+
+def test_pallas_flood_tiled_parity():
+    """Strip-tiled flood (planes beyond VMEM) vs a host BFS oracle,
+    including a snaking corridor that forces many inter-strip reversals."""
+    from collections import deque
+
+    import jax.numpy as jnp
+
+    from tpu_inspect.ops.flood_pallas import propagate_pallas_tiled
+
+    def bfs(seed, dom, conn8):
+        h, w = seed.shape
+        reach = seed & dom
+        q = deque(zip(*np.nonzero(reach)))
+        dirs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        if conn8:
+            dirs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+        while q:
+            y, x = q.popleft()
+            for dy, dx in dirs:
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < h and 0 <= nx < w and dom[ny, nx] and not reach[ny, nx]:
+                    reach[ny, nx] = True
+                    q.append((ny, nx))
+        return reach
+
+    rng = np.random.RandomState(0)
+    cases = []
+    for u, h, w, p in [(2, 333, 1000, 0.5), (3, 100, 300, 0.35)]:
+        fg = rng.rand(u, h, w) < p
+        free = ~fg
+        border = np.zeros((u, h, w), bool)
+        border[:, 0, :] = border[:, -1, :] = True
+        border[:, :, 0] = border[:, :, -1] = True
+        cases.append((border & free, free))
+    h, w = 600, 512
+    dom = np.zeros((h, w), bool)
+    for i, r in enumerate(range(0, h, 40)):
+        dom[r, :] = True
+        if i % 2 == 0:
+            dom[r : min(r + 41, h), w - 1] = True
+        else:
+            dom[r : min(r + 41, h), 0] = True
+    seed = np.zeros((h, w), bool)
+    seed[0, 0] = dom[0, 0] = True
+    cases.append((seed[None], dom[None]))
+    for seed, dom in cases:
+        for conn8 in (False, True):
+            ours = np.asarray(
+                propagate_pallas_tiled(jnp.asarray(seed), jnp.asarray(dom), conn8)
+            )
+            ref = np.stack([bfs(seed[i], dom[i], conn8) for i in range(len(seed))])
+            np.testing.assert_array_equal(ours, ref)
+
+
+def test_large_unit_segmentation_parity():
+    """BASELINE config 1: one whole-image 4096x3000 crop through the
+    segmentation chain (tiled flood path) vs the OpenCV oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_inspect import oracle
+    from tpu_inspect.config import SegmentationParams
+    from tpu_inspect.engine import raw_segment
+    from tpu_inspect.synthetic import make_mold_image, sample_grid_params
+
+    grid = sample_grid_params()
+    image = make_mold_image(grid, (3000, 4096), seed=0, defect_rate=0.3)
+    seg = SegmentationParams().validated()
+    got = np.asarray(
+        jax.jit(lambda a: raw_segment(a, seg))(jnp.asarray(image)[None])
+    )[0]
+    ref = oracle.segment_unit(image, seg)
+    np.testing.assert_array_equal(got, ref)

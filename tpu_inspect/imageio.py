@@ -37,6 +37,23 @@ def load_gray(path: str) -> np.ndarray:
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     if img is None:
         raise RuntimeError(f"Unable to load image: {path}")
+    return _to_gray_u8(img)
+
+
+def decode_gray(data: bytes) -> np.ndarray:
+    """load_gray for in-memory encoded bytes (drag-and-drop uploads,
+    indexing_ui.py:1134-1161)."""
+    import cv2
+
+    img = cv2.imdecode(np.frombuffer(data, dtype=np.uint8), cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise RuntimeError("Unable to decode image data")
+    return _to_gray_u8(img)
+
+
+def _to_gray_u8(img: np.ndarray) -> np.ndarray:
+    import cv2
+
     if img.dtype == np.uint16:
         img = (img / 256).astype(np.uint8)
     elif img.dtype != np.uint8:

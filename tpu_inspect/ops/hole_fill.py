@@ -63,10 +63,19 @@ def exterior_background(fg: jnp.ndarray) -> jnp.ndarray:
     border = border.at[..., :, w - 1].set(True)
     seed = border & free
 
-    from tpu_inspect.ops.flood_pallas import flood_fits, propagate_pallas
+    from tpu_inspect.ops.flood_pallas import (
+        flood_fits,
+        flood_fits_tiled,
+        propagate_pallas,
+        propagate_pallas_tiled,
+    )
 
     if flood_fits(fg.shape):
         return propagate_pallas(seed, free, conn8=False)
+    if flood_fits_tiled(fg.shape):
+        # plane exceeds VMEM (e.g. one whole-image 4096x3000 crop):
+        # halo-exchanging strip sweeps keep the fixpoint on-chip
+        return propagate_pallas_tiled(seed, free, conn8=False)
 
     def cond(state):
         reach, changed = state
