@@ -149,6 +149,16 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_ui(args):
+    from tpu_inspect.ui.server import main as ui_main
+
+    argv = list(args.images)
+    if args.grid:
+        argv += ["--grid", args.grid]
+    argv += ["--port", str(args.port), "--host", args.host]
+    ui_main(argv)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="tpu-inspect")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -173,6 +183,13 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="run the standard benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    u = sub.add_parser("ui", help="serve the interactive web client")
+    u.add_argument("images", nargs="*", help="image files to preload")
+    u.add_argument("--grid", default=None, help="grid JSON to import")
+    u.add_argument("--port", type=int, default=8700)
+    u.add_argument("--host", default="127.0.0.1")
+    u.set_defaults(fn=cmd_ui)
 
     args = ap.parse_args(argv)
     args.fn(args)
