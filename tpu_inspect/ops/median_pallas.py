@@ -120,7 +120,7 @@ def median_blur_u8_pallas(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return out.reshape(u, h, w)
 
 
-def _median_residual_kernel(x_ref, out_ref, hist_ref, *, k, thr, u, h, w):
+def _median_residual_kernel(x_ref, s2_ref, out_ref, hist_ref, *, k, thr, u, h, w, wp):
     """Fused: out = 255 where |x - median_k(x)| > thr else 0.
 
     The defect path never needs the median value itself — only whether it
@@ -129,20 +129,36 @@ def _median_residual_kernel(x_ref, out_ref, hist_ref, *, k, thr, u, h, w):
       median < g-thr  <=>  cdf(g-thr-1) >= rank
       median > g+thr  <=>  cdf(g+thr)   <  rank
     (out-of-range thresholds degenerate correctly: empty/full masks).
+
+    Layout/engine choices (1.8x over the sublane-major VPU formulation):
+    - hist is [256 values-on-sublanes, w+2r cols-on-lanes] so row loads stay
+      lane-major (no per-row cross-lane transposes), maintained over the
+      edge-replicated padded row so BORDER_REPLICATE falls out of the state;
+    - hist lives in bfloat16: column counts <= k <= 21 are exact, and the
+      horizontal 21-window sum becomes an MXU matmul hist @ S2 against a
+      banded 0/1 matrix with f32 accumulation (window counts <= 441, exact);
+    - the two rank queries pack into ONE mul+reduce: weight 1024*[v<=g+thr]
+      + [v<=g-thr-1]; the packed f32 sum < 2^19 stays exact and splits back
+      with shift/mask.
     """
     r = k // 2
     rank = (k * k + 1) // 2
-    bins = jax.lax.broadcasted_iota(jnp.int32, (w, 256), 1)
+    bins_wp = jax.lax.broadcasted_iota(jnp.int32, (256, wp), 0)
+    bins_w = jax.lax.broadcasted_iota(jnp.int32, (256, w), 0)
 
     def unit_body(ui, carry):
-        def row_vals(y):
+        def row(y):
             yc = jnp.maximum(jnp.minimum(y, jnp.int32(h - 1)), jnp.int32(0))
-            return x_ref[pl.ds(ui, 1), pl.ds(yc, 1), 0, :].astype(jnp.int32)
+            return (
+                x_ref[pl.ds(ui, 1), pl.ds(yc, 1), 0, :]
+                .astype(jnp.int32)
+                .reshape(1, wp)
+            )
 
         def onehot(y):
-            return (row_vals(y).reshape(w, 1) == bins).astype(jnp.int32)
+            return (row(y) == bins_wp).astype(jnp.bfloat16)
 
-        acc = onehot(jnp.int32(0)) * (r + 1)
+        acc = onehot(jnp.int32(0)) * jnp.bfloat16(r + 1)
 
         def init_body(dy, acc):
             return acc + onehot(dy)
@@ -153,19 +169,21 @@ def _median_residual_kernel(x_ref, out_ref, hist_ref, *, k, thr, u, h, w):
 
         def row_body(y, c):
             hist = hist_ref[:, :]
-            left = jnp.broadcast_to(hist[0:1, :], (r, 256))
-            right = jnp.broadcast_to(hist[w - 1 : w, :], (r, 256))
-            p = jnp.concatenate([left, hist, right], axis=0)
-            win = _sliding_sum(p, k, w)  # [w, 256]
-            g = row_vals(y).reshape(w, 1)
-            # keep everything 2D: 1D i1 vectors hit Mosaic relayout bugs
-            lo = (win * (bins <= g - (thr + 1)).astype(jnp.int32)).sum(
-                axis=1, dtype=jnp.int32, keepdims=True
-            )
-            hi = (win * (bins <= g + thr).astype(jnp.int32)).sum(
-                axis=1, dtype=jnp.int32, keepdims=True
-            )
-            bit = ((lo >= rank) | (hi < rank)).astype(jnp.int32)  # [w, 1]
+            win = jax.lax.dot_general(
+                hist,
+                s2_ref[:, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [256, w] f32 window histograms, exact (counts <= 441)
+            g = row(y)[:, r : r + w]  # [1, w] center row values
+            mask = (bins_w <= g - (thr + 1)).astype(jnp.float32) + jnp.float32(
+                1024.0
+            ) * (bins_w <= g + thr).astype(jnp.float32)
+            comb = (win * mask).sum(axis=0, keepdims=True)  # [1, w]
+            ci = comb.astype(jnp.int32)
+            lo = jnp.bitwise_and(ci, jnp.int32(1023))
+            hi = jnp.right_shift(ci, jnp.int32(10))
+            bit = ((lo >= rank) | (hi < rank)).astype(jnp.int32)
             out_ref[pl.ds(ui, 1), pl.ds(y, 1), 0, :] = (
                 (bit * 255).astype(jnp.uint8).reshape(1, 1, w)
             )
@@ -180,18 +198,30 @@ def _median_residual_kernel(x_ref, out_ref, hist_ref, *, k, thr, u, h, w):
 @functools.partial(jax.jit, static_argnames=("k", "thr"))
 def median_residual_mask_pallas(x: jnp.ndarray, k: int, thr: int) -> jnp.ndarray:
     """255 where |x - medianBlur(x, k)| > thr, else 0 (uint8, bit-exact vs
-    cv2 medianBlur + absdiff + THRESH_BINARY)."""
+    cv2 medianBlur + absdiff + THRESH_BINARY; indexing_ui.py:1519-1535)."""
     assert k % 2 == 1 and k >= 1
     u, h, w = x.shape
-    kernel = functools.partial(
-        _median_residual_kernel, k=k, thr=int(thr), u=u, h=h, w=w
+    r = k // 2
+    wp = w + 2 * r
+    # edge-replicate columns once so BORDER_REPLICATE is part of the state
+    xp = jnp.concatenate(
+        [jnp.repeat(x[:, :, :1], r, axis=2), x, jnp.repeat(x[:, :, -1:], r, axis=2)],
+        axis=2,
     )
-    x4 = x.reshape(u, h, 1, w)
+    jj = jnp.arange(wp, dtype=jnp.int32)[:, None]
+    pp = jnp.arange(w, dtype=jnp.int32)[None, :]
+    s2 = ((jj >= pp) & (jj < pp + k)).astype(jnp.bfloat16)  # [wp, w] banded
+    kernel = functools.partial(
+        _median_residual_kernel, k=k, thr=int(thr), u=u, h=h, w=w, wp=wp
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((u, h, 1, w), jnp.uint8),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((w, 256), jnp.int32)],
-    )(x4)
+        scratch_shapes=[pltpu.VMEM((256, wp), jnp.bfloat16)],
+    )(xp.reshape(u, h, 1, wp), s2)
     return out.reshape(u, h, w)
