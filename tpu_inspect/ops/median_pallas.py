@@ -135,8 +135,11 @@ def _median_residual_kernel(x_ref, s2_ref, out_ref, hist_ref, *, k, thr, u, h, w
       lane-major (no per-row cross-lane transposes), maintained over the
       edge-replicated padded row so BORDER_REPLICATE falls out of the state;
     - hist lives in bfloat16: column counts <= k <= 21 are exact, and the
-      horizontal 21-window sum becomes an MXU matmul hist @ S2 against a
-      banded 0/1 matrix with f32 accumulation (window counts <= 441, exact);
+      horizontal 21-window sum becomes MXU matmuls hist @ S2 against a
+      banded 0/1 matrix with f32 accumulation (window counts <= 441, exact),
+      tiled into 128-column output strips so each strip contracts only its
+      (128 + k - 1)-wide K band (2.2x fewer MACs at w=316, k=21; measured
+      8.3 -> 6.8 ms on the bench workload);
     - the two rank queries pack into ONE mul+reduce: weight 1024*[v<=g+thr]
       + [v<=g-thr-1]; the packed f32 sum < 2^19 stays exact and splits back
       with shift/mask.
@@ -145,6 +148,7 @@ def _median_residual_kernel(x_ref, s2_ref, out_ref, hist_ref, *, k, thr, u, h, w
     rank = (k * k + 1) // 2
     bins_wp = jax.lax.broadcasted_iota(jnp.int32, (256, wp), 0)
     bins_w = jax.lax.broadcasted_iota(jnp.int32, (256, w), 0)
+    tiles = tuple((c0, min(c0 + 128, w)) for c0 in range(0, w, 128))
 
     def unit_body(ui, carry):
         def row(y):
@@ -169,12 +173,19 @@ def _median_residual_kernel(x_ref, s2_ref, out_ref, hist_ref, *, k, thr, u, h, w
 
         def row_body(y, c):
             hist = hist_ref[:, :]
-            win = jax.lax.dot_general(
-                hist,
-                s2_ref[:, :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [256, w] f32 window histograms, exact (counts <= 441)
+            parts = []
+            for (c0, c1) in tiles:
+                kw = c1 - c0 + k - 1
+                parts.append(
+                    jax.lax.dot_general(
+                        hist[:, c0 : c0 + kw],
+                        s2_ref[c0 : c0 + kw, c0:c1],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            # [256, w] f32 window histograms, exact (counts <= 441)
+            win = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
             g = row(y)[:, r : r + w]  # [1, w] center row values
             mask = (bins_w <= g - (thr + 1)).astype(jnp.float32) + jnp.float32(
                 1024.0
