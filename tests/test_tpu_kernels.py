@@ -291,3 +291,58 @@ def test_large_unit_segmentation_parity():
     )[0]
     ref = oracle.segment_unit(image, seg)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_morph_chain_parity():
+    """close_open / open / erode_rect Pallas chains vs the XLA morphology
+    ops (which are bit-exact vs cv2.morphologyEx / cv2.erode)."""
+    import jax.numpy as jnp
+
+    from tpu_inspect.ops import morphology as M
+    from tpu_inspect.ops.morph_pallas import (
+        close_open_pallas,
+        erode_rect_pallas,
+        open_pallas,
+    )
+
+    rng = np.random.RandomState(0)
+    for (u, h, w) in [(3, 50, 57), (2, 31, 128), (1, 9, 300), (2, 315, 316)]:
+        x = (rng.rand(u, h, w) < 0.45).astype(np.uint8) * 255
+        x[0, : min(5, h), :] = 255  # border-touching blob
+        xd = jnp.asarray(x)
+        for k in (3, 5, 9, 15):
+            se = M.ellipse_se(k)
+            np.testing.assert_array_equal(
+                np.asarray(close_open_pallas(xd, k)),
+                np.asarray(M.morph_open(M.morph_close(xd, se), se)),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(open_pallas(xd, k)),
+                np.asarray(M.morph_open(xd, se)),
+            )
+        for n in (1, 6, 20):
+            np.testing.assert_array_equal(
+                np.asarray(erode_rect_pallas(xd, n)),
+                np.asarray(M.erode_rect3(xd, n)),
+            )
+
+
+def test_pallas_border_seed_flood_parity():
+    """propagate_pallas(border_seed=True) == explicit border-seed flood."""
+    import jax.numpy as jnp
+
+    from tpu_inspect.ops.flood_pallas import propagate_pallas
+
+    rng = np.random.RandomState(1)
+    for (u, h, w) in [(3, 40, 53), (2, 315, 316)]:
+        fg = rng.rand(u, h, w) < 0.55
+        free = jnp.asarray(~fg)
+        border = np.zeros((u, h, w), bool)
+        border[:, 0, :] = border[:, h - 1, :] = True
+        border[:, :, 0] = border[:, :, w - 1] = True
+        seed = jnp.asarray(border) & free
+        ref = np.asarray(propagate_pallas(seed, free, conn8=False))
+        got = np.asarray(
+            propagate_pallas(None, free, conn8=False, border_seed=True)
+        )
+        np.testing.assert_array_equal(got, ref)

@@ -174,9 +174,15 @@ def raw_segment(crops: jnp.ndarray, seg: SegmentationParams) -> jnp.ndarray:
             mask = threshold.otsu_binary_inv(x)
     if seg.morph_kernel and seg.morph_kernel > 0:
         with jax.named_scope("morph"):
-            se = morphology.ellipse_se(max(1, int(seg.morph_kernel)))
-            mask = morphology.morph_close(mask, se)
-            mask = morphology.morph_open(mask, se)
+            from tpu_inspect.ops.morph_pallas import close_open_pallas, morph_fits
+
+            k = max(1, int(seg.morph_kernel))
+            if k > 1 and morph_fits(x.shape):
+                mask = close_open_pallas(mask, k)
+            elif k > 1:
+                se = morphology.ellipse_se(k)
+                mask = morphology.morph_close(mask, se)
+                mask = morphology.morph_open(mask, se)
     with jax.named_scope("holefill"):
         return hole_fill.fill_holes(mask)
 
@@ -301,9 +307,13 @@ def defect_roi(seg_masks: jnp.ndarray, erode_px: int):
     component (holes preserved). Returns (roi [U,H,W] bool, roi_empty [U])."""
     seg_bin = seg_masks > 0
     if erode_px > 0:
-        eroded = morphology.erode_rect3(
-            jnp.where(seg_bin, jnp.uint8(255), jnp.uint8(0)), erode_px
-        )
+        from tpu_inspect.ops.morph_pallas import erode_rect_pallas, morph_fits
+
+        bin_u8 = jnp.where(seg_bin, jnp.uint8(255), jnp.uint8(0))
+        if morph_fits(seg_masks.shape):
+            eroded = erode_rect_pallas(bin_u8, erode_px)
+        else:
+            eroded = morphology.erode_rect3(bin_u8, erode_px)
         seg_bin = eroded > 0
     largest, _, _, has_fg = cc.largest_component(seg_bin)
     return largest, ~has_fg
@@ -339,7 +349,12 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
             cand = threshold.threshold_binary(resid, thr)
         cand = jnp.where(roi, cand, jnp.uint8(0))
         with jax.named_scope("cand_open"):
-            cand = morphology.morph_open(cand, morphology.ellipse_se(3))
+            from tpu_inspect.ops.morph_pallas import morph_fits, open_pallas
+
+            if morph_fits(cand.shape):
+                cand = open_pallas(cand, 3)
+            else:
+                cand = morphology.morph_open(cand, morphology.ellipse_se(3))
     else:
         from tpu_inspect.ops import canny as canny_op
 

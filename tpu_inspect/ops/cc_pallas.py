@@ -100,12 +100,21 @@ def _label_kernel(x_ref, out_ref, scratch_ref, sem, *, u: int, h: int, w: int, k
 
         def body(c):
             lab, _ = c
-            n8 = lab
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    if dy or dx:
-                        n8 = jnp.minimum(n8, _shift2d(lab, dy, dx, _BIG))
-            new = jnp.where(m, jnp.minimum(lab, n8), _BIG)
+            # separable 3x3 min: horizontal 3-min then vertical 3-min of it
+            # covers all 8 neighbors + center in 4 shifts instead of 8
+            hmin = jnp.minimum(
+                lab,
+                jnp.minimum(
+                    _shift2d(lab, 0, -1, _BIG), _shift2d(lab, 0, 1, _BIG)
+                ),
+            )
+            n8 = jnp.minimum(
+                hmin,
+                jnp.minimum(
+                    _shift2d(hmin, -1, 0, _BIG), _shift2d(hmin, 1, 0, _BIG)
+                ),
+            )
+            new = jnp.where(m, n8, _BIG)
             new = seg_sweep(new, 1, row_fwd, row_bwd)
             new = seg_sweep(new, 0, col_fwd, col_bwd)
             # Mosaic scalar reductions need 32-bit types (bool .any() fails)

@@ -77,7 +77,8 @@ def _local_fixpoint(dom, reach0, conn8: bool):
 
 
 def _flood_kernel(
-    packed_ref, out_ref, buf_ref, sem_in, sem_out, *, u, h, w, conn8: bool
+    packed_ref, out_ref, buf_ref, sem_in, sem_out,
+    *, u, h, w, conn8: bool, border_hw=None
 ):
     def unit_body(ui, carry):
         cp_in = pltpu.make_async_copy(packed_ref.at[ui], buf_ref, sem_in)
@@ -85,7 +86,19 @@ def _flood_kernel(
         cp_in.wait()
         packed = buf_ref[:, :].astype(jnp.int32)
         dom = (packed & 1) > 0  # bit 0: domain (padding is 0 = blocked)
-        reach0 = ((packed & 2) > 0) & dom  # bit 1: seed
+        if border_hw is not None:
+            # seed = domain on the (unpadded) image border, derived from
+            # iota in VMEM — materializing a [U, H, W] border constant in
+            # HBM cost ~1.4 ms/call in copies (exterior_background callers)
+            ho, wo = border_hw
+            yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+            border = (
+                (yy == 0) | (yy == ho - 1) | (xx == 0) | (xx == wo - 1)
+            )
+            reach0 = border & dom
+        else:
+            reach0 = ((packed & 2) > 0) & dom  # bit 1: seed
         reach = _local_fixpoint(dom, reach0, conn8)
         buf_ref[:, :] = reach.astype(jnp.uint8)
         cp_out = pltpu.make_async_copy(buf_ref, out_ref.at[ui], sem_out)
@@ -96,17 +109,34 @@ def _flood_kernel(
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(u), unit_body, jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("conn8",))
+@functools.partial(jax.jit, static_argnames=("conn8", "border_seed"))
 def propagate_pallas(
-    seed: jnp.ndarray, domain: jnp.ndarray, conn8: bool
+    seed: jnp.ndarray | None,
+    domain: jnp.ndarray,
+    conn8: bool,
+    border_seed: bool = False,
 ) -> jnp.ndarray:
-    """Reachability of `seed` through `domain` ([U, H, W] bool each)."""
-    u, h, w = seed.shape
+    """Reachability of `seed` through `domain` ([U, H, W] bool each).
+
+    With ``border_seed=True`` the seed argument is ignored and the seed is
+    domain-on-the-image-border, generated inside the kernel (the
+    exterior_background case, segmentation.py:53-67)."""
+    u, h, w = domain.shape
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
-    packed = domain.astype(jnp.uint8) | (seed.astype(jnp.uint8) << 1)
+    if border_seed:
+        packed = domain.astype(jnp.uint8)
+    else:
+        packed = domain.astype(jnp.uint8) | (seed.astype(jnp.uint8) << 1)
     packed = jnp.pad(packed, ((0, 0), (0, hp - h), (0, wp - w)))
-    kernel = functools.partial(_flood_kernel, u=u, h=hp, w=wp, conn8=bool(conn8))
+    kernel = functools.partial(
+        _flood_kernel,
+        u=u,
+        h=hp,
+        w=wp,
+        conn8=bool(conn8),
+        border_hw=(h, w) if border_seed else None,
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((u, hp, wp), jnp.uint8),

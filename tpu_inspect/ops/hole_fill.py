@@ -56,12 +56,6 @@ def exterior_background(fg: jnp.ndarray) -> jnp.ndarray:
     """Background 4-connected to the border. fg: [U, H, W] bool -> bool mask."""
     free = ~fg
     h, w = fg.shape[-2], fg.shape[-1]
-    border = jnp.zeros(fg.shape, dtype=bool)
-    border = border.at[..., 0, :].set(True)
-    border = border.at[..., h - 1, :].set(True)
-    border = border.at[..., :, 0].set(True)
-    border = border.at[..., :, w - 1].set(True)
-    seed = border & free
 
     from tpu_inspect.ops.flood_pallas import (
         flood_fits,
@@ -71,7 +65,16 @@ def exterior_background(fg: jnp.ndarray) -> jnp.ndarray:
     )
 
     if flood_fits(fg.shape):
-        return propagate_pallas(seed, free, conn8=False)
+        # the border seed is generated inside the kernel (a materialized
+        # [U, H, W] border constant costs ~1.4 ms in HBM copies)
+        return propagate_pallas(None, free, conn8=False, border_seed=True)
+
+    border = jnp.zeros(fg.shape, dtype=bool)
+    border = border.at[..., 0, :].set(True)
+    border = border.at[..., h - 1, :].set(True)
+    border = border.at[..., :, 0].set(True)
+    border = border.at[..., :, w - 1].set(True)
+    seed = border & free
     if flood_fits_tiled(fg.shape):
         # plane exceeds VMEM (e.g. one whole-image 4096x3000 crop):
         # halo-exchanging strip sweeps keep the fixpoint on-chip

@@ -66,8 +66,11 @@ def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
 
     zeros = jnp.zeros((u,), dtype=jnp.float64)
     init = (zeros, zeros, zeros, jnp.zeros((u,), dtype=jnp.int32))
+    # unroll: the 256 tiny [U]-wide f64 steps are dispatch-latency-bound on
+    # TPU (f64 is software-emulated); unrolling fuses 16 steps per loop
+    # iteration without changing the (exactly sequential) summation order
     (q1, mu1, max_sigma, max_val), _ = jax.lax.scan(
-        step, init, jnp.arange(256, dtype=jnp.int32)
+        step, init, jnp.arange(256, dtype=jnp.int32), unroll=16
     )
     return max_val
 
