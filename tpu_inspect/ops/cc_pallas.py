@@ -95,11 +95,7 @@ def _label_kernel(x_ref, out_ref, scratch_ref, sem, *, u: int, h: int, w: int, k
             b = _prefix_min(v - ids_b, axis, True) + ids_b
             return jnp.where(m, jnp.minimum(lab, jnp.minimum(f, b)), lab)
 
-        def cond(c):
-            return c[1]
-
-        def body(c):
-            lab, _ = c
+        def min3x3(lab):
             # separable 3x3 min: horizontal 3-min then vertical 3-min of it
             # covers all 8 neighbors + center in 4 shifts instead of 8
             hmin = jnp.minimum(
@@ -108,20 +104,29 @@ def _label_kernel(x_ref, out_ref, scratch_ref, sem, *, u: int, h: int, w: int, k
                     _shift2d(lab, 0, -1, _BIG), _shift2d(lab, 0, 1, _BIG)
                 ),
             )
-            n8 = jnp.minimum(
+            vmin = jnp.minimum(
                 hmin,
                 jnp.minimum(
                     _shift2d(hmin, -1, 0, _BIG), _shift2d(hmin, 1, 0, _BIG)
                 ),
             )
-            new = jnp.where(m, n8, _BIG)
+            return jnp.where(m, vmin, _BIG)
+
+        # Convergence test lives in `cond`: 3x3-min stability implies
+        # adjacent fg labels are pairwise equal, hence constant per
+        # component — full convergence. The expensive segmented sweeps
+        # (the accelerator) therefore never run on the final verify pass.
+        # (Mosaic scalar reductions need 32-bit types, hence the int cast.)
+        def cond(lab):
+            return (min3x3(lab) != lab).astype(jnp.int32).max() > 0
+
+        def body(lab):
+            new = min3x3(lab)
             new = seg_sweep(new, 1, row_fwd, row_bwd)
             new = seg_sweep(new, 0, col_fwd, col_bwd)
-            # Mosaic scalar reductions need 32-bit types (bool .any() fails)
-            changed = (new != lab).astype(jnp.int32).max() > 0
-            return new, changed
+            return new
 
-        lab, _done = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
+        lab = jax.lax.while_loop(cond, body, init)
         # int32 labels for the whole batch exceed VMEM: DMA per unit to HBM.
         # Scratch/out are tile-padded (8, 128) for DMA alignment.
         hp, wp = scratch_ref.shape

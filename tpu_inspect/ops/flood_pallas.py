@@ -54,26 +54,27 @@ def _local_fixpoint(dom, reach0, conn8: bool):
         else ((-1, 0), (1, 0), (0, -1), (0, 1))
     )
 
-    def cond(c):
-        return c[1]
-
-    def body(c):
-        # reach carried as int32 (i1 vectors fail scf.yield legalization)
-        r, _ = c
+    def dilate(r):
         acc = r
         for dy, dx in dirs:
             acc = jnp.maximum(acc, _shift2d(r, dy, dx, np.int32(0)))
-        new = (acc > 0) & dom
+        return ((acc > 0) & dom).astype(jnp.int32)
+
+    # Convergence test lives in `cond`: neighborhood stability implies
+    # sweep stability (a run holding both a reached and an unreached pixel
+    # necessarily holds an adjacent such pair), so the expensive segmented
+    # sweeps never run on the final verify pass. reach is carried as int32
+    # (i1 vectors fail scf.yield legalization).
+    def cond(r):
+        return (dilate(r) != r).astype(jnp.int32).max() > 0
+
+    def body(r):
+        new = dilate(r) > 0
         new = seg_or(new, 1, row_fwd, row_bwd)
         new = seg_or(new, 0, col_fwd, col_bwd)
-        new_i = new.astype(jnp.int32)
-        changed = (new_i != r).astype(jnp.int32).max() > 0
-        return new_i, changed
+        return new.astype(jnp.int32)
 
-    reach, _done = jax.lax.while_loop(
-        cond, body, (reach0.astype(jnp.int32), jnp.bool_(True))
-    )
-    return reach
+    return jax.lax.while_loop(cond, body, reach0.astype(jnp.int32))
 
 
 def _flood_kernel(
