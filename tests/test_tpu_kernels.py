@@ -346,3 +346,23 @@ def test_pallas_border_seed_flood_parity():
             propagate_pallas(None, free, conn8=False, border_seed=True)
         )
         np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_median_row_bounds():
+    """Row-bounded median-residual: rows inside [lo, hi) match the full
+    kernel (rows outside are unwritten by contract — the defect path masks
+    them with the ROI)."""
+    import jax.numpy as jnp
+
+    from tpu_inspect.ops.median_pallas import median_residual_mask_pallas
+
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 256, (4, 60, 70), dtype=np.uint8)
+    lo = jnp.asarray(np.array([5, 0, 20, 0], np.int32))
+    hi = jnp.asarray(np.array([50, 60, 20, 0], np.int32))  # incl. empty
+    full = np.asarray(median_residual_mask_pallas(jnp.asarray(x), 21, 24))
+    got = np.asarray(
+        median_residual_mask_pallas(jnp.asarray(x), 21, 24, row_lo=lo, row_hi=hi)
+    )
+    for i, (a, b) in enumerate(zip(np.asarray(lo), np.asarray(hi))):
+        np.testing.assert_array_equal(got[i, a:b], full[i, a:b])

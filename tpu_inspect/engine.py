@@ -341,7 +341,20 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
             from tpu_inspect.ops.median_pallas import median_residual_mask_pallas
 
             with jax.named_scope("median_residual"):
-                cand = median_residual_mask_pallas(crops, k, thr)
+                # only rows intersecting the ROI need the median mask (the
+                # result is ANDed with the ROI right below); the mold never
+                # reaches the crop margins, so ~34% of rows skip
+                rows_any = roi.any(axis=2)
+                row_lo = jnp.argmax(rows_any, axis=1).astype(jnp.int32)
+                row_hi = jnp.where(
+                    rows_any.any(axis=1),
+                    jnp.int32(h)
+                    - jnp.argmax(rows_any[:, ::-1], axis=1).astype(jnp.int32),
+                    jnp.int32(0),
+                )
+                cand = median_residual_mask_pallas(
+                    crops, k, thr, row_lo=row_lo, row_hi=row_hi
+                )
         else:
             with jax.named_scope("median_bg"):
                 bg = median.median_blur_u8(crops, k)

@@ -120,7 +120,9 @@ def median_blur_u8_pallas(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return out.reshape(u, h, w)
 
 
-def _median_residual_kernel(x_ref, s2_ref, out_ref, hist_ref, *, k, thr, u, h, w, wp):
+def _median_residual_kernel(
+    x_ref, s2_ref, lo_ref, hi_ref, out_ref, hist_ref, *, k, thr, u, h, w, wp
+):
     """Fused: out = 255 where |x - median_k(x)| > thr else 0.
 
     The defect path never needs the median value itself — only whether it
@@ -151,6 +153,9 @@ def _median_residual_kernel(x_ref, s2_ref, out_ref, hist_ref, *, k, thr, u, h, w
     tiles = tuple((c0, min(c0 + 128, w)) for c0 in range(0, w, 128))
 
     def unit_body(ui, carry):
+        y_lo = lo_ref[ui]
+        y_hi = hi_ref[ui]
+
         def row(y):
             yc = jnp.maximum(jnp.minimum(y, jnp.int32(h - 1)), jnp.int32(0))
             return (
@@ -162,13 +167,16 @@ def _median_residual_kernel(x_ref, s2_ref, out_ref, hist_ref, *, k, thr, u, h, w
         def onehot(y):
             return (row(y) == bins_wp).astype(jnp.bfloat16)
 
-        acc = onehot(jnp.int32(0)) * jnp.bfloat16(r + 1)
-
+        # init the vertical-window histogram centered on the first
+        # processed row (rows clamp to the image: BORDER_REPLICATE)
         def init_body(dy, acc):
-            return acc + onehot(dy)
+            return acc + onehot(y_lo + dy - r)
 
         hist_ref[:, :] = jax.lax.fori_loop(
-            jnp.int32(1), jnp.int32(r + 1), init_body, acc
+            jnp.int32(0),
+            jnp.int32(2 * r + 1),
+            init_body,
+            jnp.zeros((256, wp), jnp.bfloat16),
         )
 
         def row_body(y, c):
@@ -201,15 +209,27 @@ def _median_residual_kernel(x_ref, s2_ref, out_ref, hist_ref, *, k, thr, u, h, w
             hist_ref[:, :] = hist + onehot(y + r + 1) - onehot(y - r)
             return c
 
-        return jax.lax.fori_loop(jnp.int32(0), jnp.int32(h), row_body, carry)
+        return jax.lax.fori_loop(y_lo, y_hi, row_body, carry)
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(u), unit_body, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "thr"))
-def median_residual_mask_pallas(x: jnp.ndarray, k: int, thr: int) -> jnp.ndarray:
+def median_residual_mask_pallas(
+    x: jnp.ndarray,
+    k: int,
+    thr: int,
+    row_lo: jnp.ndarray | None = None,
+    row_hi: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """255 where |x - medianBlur(x, k)| > thr, else 0 (uint8, bit-exact vs
-    cv2 medianBlur + absdiff + THRESH_BINARY; indexing_ui.py:1519-1535)."""
+    cv2 medianBlur + absdiff + THRESH_BINARY; indexing_ui.py:1519-1535).
+
+    ``row_lo``/``row_hi`` ([U] int32) optionally bound the processed rows
+    per unit: rows outside [row_lo, row_hi) are left UNWRITTEN (the defect
+    path masks the result with the ROI, whose empty rows are exactly the
+    skipped ones — indexing_ui.py:1528). ~34% of rows skip on the sample
+    workload (the mold doesn't reach the crop margins)."""
     assert k % 2 == 1 and k >= 1
     u, h, w = x.shape
     r = k // 2
@@ -222,6 +242,10 @@ def median_residual_mask_pallas(x: jnp.ndarray, k: int, thr: int) -> jnp.ndarray
     jj = jnp.arange(wp, dtype=jnp.int32)[:, None]
     pp = jnp.arange(w, dtype=jnp.int32)[None, :]
     s2 = ((jj >= pp) & (jj < pp + k)).astype(jnp.bfloat16)  # [wp, w] banded
+    if row_lo is None:
+        row_lo = jnp.zeros((u,), jnp.int32)
+    if row_hi is None:
+        row_hi = jnp.full((u,), h, jnp.int32)
     kernel = functools.partial(
         _median_residual_kernel, k=k, thr=int(thr), u=u, h=h, w=w, wp=wp
     )
@@ -231,8 +255,15 @@ def median_residual_mask_pallas(x: jnp.ndarray, k: int, thr: int) -> jnp.ndarray
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((256, wp), jnp.bfloat16)],
-    )(xp.reshape(u, h, 1, wp), s2)
+    )(
+        xp.reshape(u, h, 1, wp),
+        s2,
+        row_lo.astype(jnp.int32),
+        row_hi.astype(jnp.int32),
+    )
     return out.reshape(u, h, w)
