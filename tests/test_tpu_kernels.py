@@ -366,3 +366,27 @@ def test_pallas_median_row_bounds():
     )
     for i, (a, b) in enumerate(zip(np.asarray(lo), np.asarray(hi))):
         np.testing.assert_array_equal(got[i, a:b], full[i, a:b])
+
+
+def test_pallas_median_large_k():
+    """Regression: the packed dual rank query must hold cdf counts up to
+    k*k (k=33 silently overflowed a 10-bit field); k > 45 is rejected."""
+    import cv2
+    import jax.numpy as jnp
+
+    from tpu_inspect.ops.median_pallas import median_residual_mask_pallas
+
+    rng = np.random.RandomState(5)
+    x = rng.randint(0, 256, (2, 60, 70), dtype=np.uint8)
+    for k in (33, 45):
+        ref = np.stack(
+            [
+                (cv2.absdiff(im, cv2.medianBlur(im, k)) > 24).astype(np.uint8)
+                * 255
+                for im in x
+            ]
+        )
+        got = np.asarray(median_residual_mask_pallas(jnp.asarray(x), k, 24))
+        np.testing.assert_array_equal(got, ref)
+    with pytest.raises(AssertionError):
+        median_residual_mask_pallas(jnp.asarray(x), 47, 24)

@@ -335,7 +335,7 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
             on_tpu = jax.devices()[0].platform == "tpu"
         except Exception:
             on_tpu = False
-        if on_tpu and w * 256 * 4 + 2 * h * w < 8 * 1024 * 1024:
+        if on_tpu and k * k < 2048 and w * 256 * 4 + 2 * h * w < 8 * 1024 * 1024:
             # fused Pallas kernel: the median value itself is never needed,
             # only whether it leaves [g-thr, g+thr] (two rank queries)
             from tpu_inspect.ops.median_pallas import median_residual_mask_pallas

@@ -33,6 +33,8 @@ class BoxGrid:
         if not self.boxes:
             raise ValueError("BoxGrid needs at least one box")
         w, h = self.boxes[0][2], self.boxes[0][3]
+        if w <= 0 or h <= 0:
+            raise ValueError(f"non-positive unit size: {(w, h)}")
         for b in self.boxes:
             if (b[2], b[3]) != (w, h):
                 raise ValueError(

@@ -325,11 +325,16 @@ def _strip_sweep(packed, reach, *, u, s, t, conn8, down):
     )(packed, reach)
 
 
+def _strip_height_raw(w: int) -> int:
+    """Multiple-of-8 strip height within the VMEM fixpoint budget (may be 0
+    for planes too wide for even one 8-row strip — see flood_fits_tiled)."""
+    wp = -(-w // 128) * 128
+    return (12 * 2**20 // (12 * 4 * wp)) // 8 * 8
+
+
 def _strip_height(w: int) -> int:
     """Largest multiple-of-8 strip height within the VMEM fixpoint budget."""
-    wp = -(-w // 128) * 128
-    t = (12 * 2**20 // (12 * 4 * wp)) // 8 * 8
-    return max(t, 8)
+    return max(_strip_height_raw(w), 8)
 
 
 @functools.partial(jax.jit, static_argnames=("conn8",))
@@ -374,10 +379,14 @@ def propagate_pallas_tiled(
 
 
 def flood_fits_tiled(shape: tuple[int, int, int]) -> bool:
-    """Whether the strip-tiled kernel applies (TPU + one strip fits VMEM)."""
+    """Whether the strip-tiled kernel applies (TPU + one strip fits VMEM).
+
+    Tests the UNCLAMPED strip height: for extremely wide planes (wp beyond
+    ~21k columns) even one 8-row strip blows the budget and the caller must
+    fall back to the XLA while-loop path."""
     _, _, w = shape
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    return on_tpu and _strip_height(w) >= 8
+    return on_tpu and _strip_height_raw(w) >= 8

@@ -195,13 +195,15 @@ def _median_residual_kernel(
             # [256, w] f32 window histograms, exact (counts <= 441)
             win = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
             g = row(y)[:, r : r + w]  # [1, w] center row values
+            # packed field must hold counts up to k*k (<= 2025 for k <= 45,
+            # enforced by the wrapper); packed sum < 2^23 stays f32-exact
             mask = (bins_w <= g - (thr + 1)).astype(jnp.float32) + jnp.float32(
-                1024.0
+                2048.0
             ) * (bins_w <= g + thr).astype(jnp.float32)
             comb = (win * mask).sum(axis=0, keepdims=True)  # [1, w]
             ci = comb.astype(jnp.int32)
-            lo = jnp.bitwise_and(ci, jnp.int32(1023))
-            hi = jnp.right_shift(ci, jnp.int32(10))
+            lo = jnp.bitwise_and(ci, jnp.int32(2047))
+            hi = jnp.right_shift(ci, jnp.int32(11))
             bit = ((lo >= rank) | (hi < rank)).astype(jnp.int32)
             out_ref[pl.ds(ui, 1), pl.ds(y, 1), 0, :] = (
                 (bit * 255).astype(jnp.uint8).reshape(1, 1, w)
@@ -231,6 +233,9 @@ def median_residual_mask_pallas(
     skipped ones — indexing_ui.py:1528). ~34% of rows skip on the sample
     workload (the mold doesn't reach the crop margins)."""
     assert k % 2 == 1 and k >= 1
+    # the packed dual rank query stores cdf counts (<= k*k) in an 11-bit
+    # field; callers gate larger kernels to the XLA fallback
+    assert k * k < 2048, f"median-residual kernel supports k <= 45, got {k}"
     u, h, w = x.shape
     r = k // 2
     wp = w + 2 * r

@@ -11,9 +11,12 @@ scaling axes are
   (verdicts, centroids, shifts) are gathered at the end over ICI;
 - the **image batch** (BASELINE.json config 5, multi-image streaming): a 2D
   ("image", "unit") mesh shards a [images, units, H, W] crop batch both
-  ways. Internally the batch is flattened to [images*units, H, W] with a
-  ("image","unit") product sharding so the single-image engine kernels run
-  unchanged.
+  ways — each chip gathers crops from its local frame and inspects its own
+  unit slice.
+
+Both paths use jax.experimental.shard_map rather than GSPMD auto-sharding:
+the Pallas kernels are opaque custom calls that GSPMD cannot partition, but
+under shard_map every chip simply invokes them on its local slice.
 
 Both paths run the REAL workflow: exclusion zones (rects + circles) and
 per-unit centroid alignment shifts (indexing_ui.py:2291-2338) are threaded
@@ -27,6 +30,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_inspect.config import DefectParams, GridParams, SegmentationParams
@@ -64,6 +68,24 @@ def pad_units(n: int, n_shards: int) -> int:
     return (n + n_shards - 1) // n_shards * n_shards
 
 
+def _inspect_shard(crops, rects, circles, ref_centroids, ref_valid, *, seg,
+                   defect, is_reference):
+    """Per-shard pipeline body: runs on each chip's local unit slice, so the
+    Pallas kernels see ordinary single-device [U/n, H, W] batches."""
+    masks, sums, has_fg, shifts = _segment_device(
+        crops,
+        rects,
+        circles,
+        ref_centroids,
+        ref_valid,
+        seg=seg,
+        is_reference=is_reference,
+        shape_hw=(crops.shape[1], crops.shape[2]),
+    )
+    dmasks, found, area, verdict = _defect_device(crops, masks, params=defect)
+    return masks, sums, has_fg, shifts, dmasks, found, area, verdict
+
+
 @functools.partial(
     jax.jit, static_argnames=("seg", "defect", "is_reference", "mesh")
 )
@@ -79,31 +101,37 @@ def _sharded_inspect(
     is_reference: bool,
     mesh: Mesh,
 ):
-    unit_axis = "unit"
-    crops = jax.lax.with_sharding_constraint(
-        crops, NamedSharding(mesh, P(unit_axis, None, None))
+    # shard_map (not GSPMD auto-sharding): each chip runs the full pipeline
+    # on its local unit slice. This is what lets the Mosaic custom calls
+    # (median/CC/flood/morph kernels) run under multi-chip execution — GSPMD
+    # cannot partition an opaque custom call, but per-shard invocation needs
+    # no partitioning at all. Pure data parallelism: zero collectives.
+    u = P("unit")
+    body = functools.partial(
+        _inspect_shard, seg=seg, defect=defect, is_reference=is_reference
     )
-    ref_centroids = jax.lax.with_sharding_constraint(
-        ref_centroids, NamedSharding(mesh, P(unit_axis, None))
-    )
-    ref_valid = jax.lax.with_sharding_constraint(
-        ref_valid, NamedSharding(mesh, P(unit_axis))
-    )
-    masks, sums, has_fg, shifts = _segment_device(
-        crops,
-        rects,
-        circles,
-        ref_centroids,
-        ref_valid,
-        seg=seg,
-        is_reference=is_reference,
-        shape_hw=(crops.shape[1], crops.shape[2]),
-    )
-    masks = jax.lax.with_sharding_constraint(
-        masks, NamedSharding(mesh, P(unit_axis, None, None))
-    )
-    dmasks, found, area, verdict = _defect_device(crops, masks, params=defect)
-    return masks, sums, has_fg, shifts, dmasks, found, area, verdict
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("unit", None, None),
+            P(None, None),
+            P(None, None),
+            P("unit", None),
+            u,
+        ),
+        out_specs=(
+            P("unit", None, None),  # masks
+            P("unit", None),        # sums
+            u,                      # has_fg
+            P("unit", None),        # shifts
+            P("unit", None, None),  # dmasks
+            u,                      # found
+            u,                      # area
+            u,                      # verdict
+        ),
+        check_rep=False,
+    )(crops, rects, circles, ref_centroids, ref_valid)
 
 
 def inspect_units_sharded(
@@ -192,41 +220,66 @@ def _sharded_image_batch(
     unit_hw: tuple[int, int],
     mesh: Mesh,
 ):
+    """One shard_map over the 2D mesh: each chip holds one image row slice,
+    gathers the (cheap) full crop set from its local frame, and runs the
+    pipeline on its own unit slice — Pallas kernels run per shard, and the
+    only cross-chip traffic is the output gather."""
     from tpu_inspect.imageio import gather_crops
 
-    b = images.shape[0]
-    u = origins.shape[0]
-    h, w = unit_hw
-    images = jax.lax.with_sharding_constraint(
-        images, NamedSharding(mesh, P("image", None, None))
-    )
-    crops = jax.lax.optimization_barrier(
-        jax.vmap(lambda im: gather_crops(im, origins, unit_hw=unit_hw))(images)
-    )
-    # Flatten [B, U, h, w] -> [B*U, h, w] with the ("image","unit") product
-    # sharding: the single-image engine kernels then run unchanged, each chip
-    # owning a (image-slice x unit-slice) block of the batch.
-    crops = jax.lax.with_sharding_constraint(
-        crops.reshape(b * u, h, w),
-        NamedSharding(mesh, P(("image", "unit"), None, None)),
-    )
-    refc = jnp.tile(ref_centroids, (b, 1))
-    refv = jnp.tile(ref_valid, (b,))
-    masks, _sums, has_fg, shifts = _segment_device(
-        crops, rects, circles, refc, refv,
-        seg=seg, is_reference=is_reference, shape_hw=unit_hw,
-    )
-    masks = jax.lax.with_sharding_constraint(
-        masks, NamedSharding(mesh, P(("image", "unit"), None, None))
-    )
-    dmasks, found, area, verdict = _defect_device(crops, masks, params=defect)
-    return (
-        verdict.reshape(b, u),
-        area.reshape(b, u),
-        found.reshape(b, u),
-        masks.reshape(b, u, h, w),
-        dmasks.reshape(b, u, h, w),
-    )
+    n_unit = mesh.shape["unit"]
+    upad = origins.shape[0]
+    ul = upad // n_unit
+
+    def body(img, origins_r, rects_r, circles_r, refc_r, refv_r):
+        crops = gather_crops(img[0], origins_r, unit_hw=unit_hw)
+        k = jax.lax.axis_index("unit")
+
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(a, k * ul, ul, axis=0)
+
+        crops_l = jax.lax.optimization_barrier(sl(crops))
+        masks, _sums, _has_fg, _shifts = _segment_device(
+            crops_l,
+            rects_r,
+            circles_r,
+            sl(refc_r),
+            sl(refv_r),
+            seg=seg,
+            is_reference=is_reference,
+            shape_hw=unit_hw,
+        )
+        dmasks, found, area, verdict = _defect_device(
+            crops_l, masks, params=defect
+        )
+        return (
+            verdict[None],
+            area[None],
+            found[None],
+            masks[None],
+            dmasks[None],
+        )
+
+    rep2 = P(None, None)
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("image", None, None),
+            rep2,
+            rep2,
+            rep2,
+            rep2,
+            P(None),
+        ),
+        out_specs=(
+            P("image", "unit"),
+            P("image", "unit"),
+            P("image", "unit"),
+            P("image", "unit", None, None),
+            P("image", "unit", None, None),
+        ),
+        check_rep=False,
+    )(images, origins, rects, circles, ref_centroids, ref_valid)
 
 
 def inspect_image_batch_sharded(
@@ -252,11 +305,20 @@ def inspect_image_batch_sharded(
     seg = (seg or SegmentationParams()).validated()
     defect = (defect or DefectParams()).validated()
     mesh = mesh or image_unit_mesh(images.shape[0])
-    origins = jnp.asarray(grid_origins(grid))
-    u = origins.shape[0]
+    origins_np = np.asarray(grid_origins(grid))
+    u = origins_np.shape[0]
+    upad = pad_units(u, mesh.shape["unit"])
     _, _, w, h = grid.base_unit
     rects, circles = pack_exclusions(exclusions)
     ref_arr, ref_ok = ref_centroid_arrays(ref_centroids, u)
+    if upad != u:
+        origins_np = np.concatenate(
+            [origins_np, np.zeros((upad - u, 2), origins_np.dtype)], axis=0
+        )
+        ref_arr = np.concatenate(
+            [ref_arr, np.zeros((upad - u, 2), np.float64)], axis=0
+        )
+        ref_ok = np.concatenate([ref_ok, np.zeros((upad - u,), bool)], axis=0)
     is_reference = ref_centroids is None
     arr = jax.device_put(
         jnp.asarray(images, dtype=jnp.uint8),
@@ -264,7 +326,7 @@ def inspect_image_batch_sharded(
     )
     verdict, area, found, masks, dmasks = _sharded_image_batch(
         arr,
-        origins,
+        jnp.asarray(origins_np),
         jnp.asarray(rects),
         jnp.asarray(circles),
         jnp.asarray(ref_arr),
@@ -276,9 +338,9 @@ def inspect_image_batch_sharded(
         mesh=mesh,
     )
     return (
-        np.asarray(verdict),
-        np.asarray(area, dtype=np.int64),
-        np.asarray(found),
-        np.asarray(masks),
-        np.asarray(dmasks),
+        np.asarray(verdict)[:, :u],
+        np.asarray(area, dtype=np.int64)[:, :u],
+        np.asarray(found)[:, :u],
+        np.asarray(masks)[:, :u],
+        np.asarray(dmasks)[:, :u],
     )

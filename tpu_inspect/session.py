@@ -177,10 +177,19 @@ class InspectionSession:
 
     # -- passes --------------------------------------------------------------
 
-    def _crops(self) -> np.ndarray:
+    def _crops(self):
+        """Device-resident [U, h, w] crop batch for the current image+grid,
+        cached (the defect passes consume it directly on device — no
+        host round-trip per inspection/test)."""
         from tpu_inspect.imageio import crops_for_grid
 
-        return np.asarray(crops_for_grid(self.image, self.grid))
+        key = (self.current_path, self.grid)
+        cached = getattr(self, "_crop_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        crops = crops_for_grid(self.image, self.grid)
+        self._crop_cache = (key, crops)
+        return crops
 
     def run_segmentation(self) -> engine.SegmentationResult:
         if self.grid is None:
@@ -285,7 +294,9 @@ class InspectionSession:
         mask, area = self._detect_one(idx)
         if mask is None:
             self.log.log("No defects found (or detection failed).")
-        verdict = area >= int(self.defect_params.min_area)
+        # verdict rule matches the engine: a None mask is OK regardless of
+        # min_area (indexing_ui.py:1686-1700)
+        verdict = mask is not None and area >= int(self.defect_params.min_area)
         self.log.unit_verdict(idx, area, int(self.defect_params.min_area))
         return {
             "mask": mask,

@@ -192,14 +192,26 @@ class UIServer:
             rgb[yy, xx] = CYAN
         return rgb
 
+    def _host_crops(self) -> np.ndarray:
+        """Host copy of the current crop batch, cached per (image, grid) —
+        the thumbnail endpoint is hit once per unit per refresh and must not
+        re-gather/transfer the whole batch each time."""
+        s = self.session
+        key = (s.current_path, s.grid)
+        cached = getattr(self, "_thumb_crops", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        crops = np.asarray(s._crops())
+        self._thumb_crops = (key, crops)
+        return crops
+
     def thumb_png(self, query: dict) -> bytes:
         from tpu_inspect import render
-        from tpu_inspect.imageio import crops_for_grid
 
         s = self.session
         idx = int(query.get("idx", ["0"])[0])
         mode = query.get("mode", [s.overlay_mode])[0]
-        crops = np.asarray(crops_for_grid(s.image, s.grid))
+        crops = self._host_crops()
         if not (0 <= idx < crops.shape[0]):
             raise SessionError(f"unit index out of range: {idx}")
         st = s.results()
@@ -286,6 +298,12 @@ class UIServer:
         if op == "select":
             self.selected = None if body.get("idx") is None else int(body["idx"])
             return {"ok": True, "selected": self.selected}
+        if op == "overlay":
+            mode = str(body["mode"])
+            if mode not in ("None", "Segmentation", "Defect", "Both"):
+                raise SessionError(f"unknown overlay mode: {mode}")
+            s.overlay_mode = mode
+            return {"ok": True, "overlay_mode": mode}
         if op == "exclusion_add":
             idx = s.add_exclusion(body["excl"])
             return {"ok": True, "index": idx}
@@ -345,13 +363,19 @@ def _make_handler(server: UIServer):
 
         def do_POST(self):
             url = urlparse(self.path)
-            n = int(self.headers.get("Content-Length", "0"))
-            body = json.loads(self.rfile.read(n) or b"{}")
             op = url.path.removeprefix("/api/")
             try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
                 with server.lock:
                     self._json(server.api(op, body))
-            except (SessionError, RuntimeError, ValueError, KeyError) as e:
+            except (
+                SessionError,
+                RuntimeError,
+                ValueError,
+                KeyError,
+                json.JSONDecodeError,
+            ) as e:
                 self._json({"error": str(e)}, 400)
 
     return Handler
