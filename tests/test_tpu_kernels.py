@@ -390,3 +390,30 @@ def test_pallas_median_large_k():
         np.testing.assert_array_equal(got, ref)
     with pytest.raises(AssertionError):
         median_residual_mask_pallas(jnp.asarray(x), 47, 24)
+
+
+def test_whole_image_defect_parity():
+    """Defect pass on a crop too big for whole-batch VMEM residency: the
+    strip-tiled median path (engine gate median_fits_tiled) vs the oracle."""
+    import jax.numpy as jnp
+
+    from tpu_inspect import oracle
+    from tpu_inspect.config import DefectParams, SegmentationParams
+    from tpu_inspect.engine import detect_defects_batch, raw_segment
+    from tpu_inspect.synthetic import make_mold_image, sample_grid_params
+
+    grid = sample_grid_params()
+    image = np.asarray(make_mold_image(grid, (3000, 4096), seed=1,
+                                       defect_rate=1.0))[:700, :4096]
+    seg = SegmentationParams().validated()
+    dfp = DefectParams().validated()
+    seg_mask = np.asarray(
+        raw_segment(jnp.asarray(image)[None], seg)
+    )
+    insp = detect_defects_batch(image[None], seg_mask, dfp)
+    o_dm = oracle.detect_defects(image, seg_mask[0], dfp)
+    if o_dm is None:
+        assert not bool(insp.valid[0])
+    else:
+        assert bool(insp.valid[0])
+        np.testing.assert_array_equal(insp.defect_masks[0], o_dm)

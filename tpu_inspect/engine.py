@@ -331,15 +331,17 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
         k = int(params.median_k)
         if k % 2 == 0:
             k += 1
-        try:
-            on_tpu = jax.devices()[0].platform == "tpu"
-        except Exception:
-            on_tpu = False
-        if on_tpu and k * k < 2048 and w * 256 * 4 + 2 * h * w < 8 * 1024 * 1024:
+        from tpu_inspect.ops.median_pallas import (
+            median_fits,
+            median_fits_tiled,
+            median_residual_mask_pallas,
+            median_residual_mask_tiled,
+        )
+
+        shape = (u, h, w)
+        if k * k < 2048 and median_fits(shape):
             # fused Pallas kernel: the median value itself is never needed,
             # only whether it leaves [g-thr, g+thr] (two rank queries)
-            from tpu_inspect.ops.median_pallas import median_residual_mask_pallas
-
             with jax.named_scope("median_residual"):
                 # only rows intersecting the ROI need the median mask (the
                 # result is ANDed with the ROI right below); the mold never
@@ -355,6 +357,11 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
                 cand = median_residual_mask_pallas(
                     crops, k, thr, row_lo=row_lo, row_hi=row_hi
                 )
+        elif k * k < 2048 and median_fits_tiled(shape):
+            # plane beyond whole-batch VMEM residency (e.g. a single
+            # whole-image crop): strip-tiled march, input stays in HBM
+            with jax.named_scope("median_residual_tiled"):
+                cand = median_residual_mask_tiled(crops, k, thr)
         else:
             with jax.named_scope("median_bg"):
                 bg = median.median_blur_u8(crops, k)

@@ -142,9 +142,9 @@ def _median_residual_kernel(
       tiled into 128-column output strips so each strip contracts only its
       (128 + k - 1)-wide K band (2.2x fewer MACs at w=316, k=21; measured
       8.3 -> 6.8 ms on the bench workload);
-    - the two rank queries pack into ONE mul+reduce: weight 1024*[v<=g+thr]
-      + [v<=g-thr-1]; the packed f32 sum < 2^19 stays exact and splits back
-      with shift/mask.
+    - the two rank queries pack into ONE mul+reduce: weight 2048*[v<=g+thr]
+      + [v<=g-thr-1]; the packed f32 sum < 2^23 stays exact (fields hold
+      counts <= k*k <= 2025) and splits back with shift/mask.
     """
     r = k // 2
     rank = (k * k + 1) // 2
@@ -272,3 +272,60 @@ def median_residual_mask_pallas(
         row_hi.astype(jnp.int32),
     )
     return out.reshape(u, h, w)
+
+
+# ---------------------------------------------------------------------------
+# Strip-tiled variant: planes too big for whole-batch VMEM residency
+# (e.g. the defect pass on a single whole-image 4096x3000 crop)
+# ---------------------------------------------------------------------------
+
+
+def median_residual_mask_tiled(
+    x: jnp.ndarray, k: int, thr: int, strip: int = 1024
+) -> jnp.ndarray:
+    """Strip-tiled median_residual_mask_pallas for planes beyond whole-batch
+    VMEM residency (same contract, bit-exact).
+
+    The plane is cut into row strips with r-row halos, materialized with
+    clamped row indices (clamping IS BORDER_REPLICATE), and each strip runs
+    through the resident row-bounded kernel — every strip shares one kernel
+    compilation. Strip extraction is a cheap XLA gather; only one strip's
+    in/out planes plus the histogram live in VMEM at a time.
+    """
+    assert k % 2 == 1 and k >= 1
+    u, h, w = x.shape
+    r = k // 2
+    outs = []
+    for y0 in range(0, h, strip):
+        rows = min(strip, h - y0)
+        idx = jnp.clip(
+            jnp.arange(y0 - r, y0 + strip + r, dtype=jnp.int32), 0, h - 1
+        )
+        xs = jnp.take(x, idx, axis=1)  # [u, strip + 2r, w]
+        lo = jnp.full((u,), r, jnp.int32)
+        hi = jnp.full((u,), r + rows, jnp.int32)
+        o = median_residual_mask_pallas(xs, k, thr, row_lo=lo, row_hi=hi)
+        outs.append(o[:, r : r + rows])
+    return jnp.concatenate(outs, axis=1)
+
+
+def median_fits(shape) -> bool:
+    """Whole-batch VMEM residency gate for median_residual_mask_pallas."""
+    _, h, w = shape
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    return on_tpu and w * 256 * 4 + 2 * h * w < 8 * 1024 * 1024
+
+
+def median_fits_tiled(shape) -> bool:
+    """Strip-tiled gate: one [1024 + 2r, wp] strip's in/out planes plus the
+    [256, wp] bf16 histogram and its temporaries in VMEM."""
+    _, _, w = shape
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    wp = -(-w // 128) * 128 + 128
+    return on_tpu and (2 * 1070 * wp + 8 * 256 * wp) < 15 * 2**20
