@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -121,7 +122,7 @@ def median_blur_u8_pallas(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _median_residual_kernel(
-    x_ref, s2_ref, lo_ref, hi_ref, out_ref, hist_ref, *, k, thr, u, h, w, wp
+    x_ref, s2_ref, lo_ref, hi_ref, out_ref, hist_ref, *, k, thr, u, h, w, bext
 ):
     """Fused: out = 255 where |x - median_k(x)| > thr else 0.
 
@@ -133,23 +134,29 @@ def _median_residual_kernel(
     (out-of-range thresholds degenerate correctly: empty/full masks).
 
     Layout/engine choices (1.8x over the sublane-major VPU formulation):
-    - hist is [256 values-on-sublanes, w+2r cols-on-lanes] so row loads stay
-      lane-major (no per-row cross-lane transposes), maintained over the
-      edge-replicated padded row so BORDER_REPLICATE falls out of the state;
+    - hist is [256 values-on-sublanes, w cols-on-lanes] so row loads stay
+      lane-major (no per-row cross-lane transposes); BORDER_REPLICATE is
+      folded into the band matrix (border columns carry the replication
+      multiplicity), so the input needs no edge-padded copy at all;
     - hist lives in bfloat16: column counts <= k <= 21 are exact, and the
       horizontal 21-window sum becomes MXU matmuls hist @ S2 against a
-      banded 0/1 matrix with f32 accumulation (window counts <= 441, exact),
-      tiled into 128-column output strips so each strip contracts only its
-      (128 + k - 1)-wide K band (2.2x fewer MACs at w=316, k=21; measured
-      8.3 -> 6.8 ms on the bench workload);
+      banded small-integer matrix with f32 accumulation (window counts
+      <= 441, exact), tiled into 128-column output strips so each strip
+      contracts only its (128 + k - 1)-wide K band (2.2x fewer MACs at
+      w=316, k=21; measured 8.3 -> 6.8 ms on the bench workload);
+    - the two rank queries share ONE extended compare D[b <= g+thr] over
+      [256 + 2thr + 1] bin rows: [b <= g-thr-1] is D shifted by 2thr+1,
+      a static sublane slice (saves a full [256, w] compare+convert per
+      row; measured 6.9 -> 6.1 ms);
     - the two rank queries pack into ONE mul+reduce: weight 2048*[v<=g+thr]
       + [v<=g-thr-1]; the packed f32 sum < 2^23 stays exact (fields hold
       counts <= k*k <= 2025) and splits back with shift/mask.
     """
     r = k // 2
     rank = (k * k + 1) // 2
-    bins_wp = jax.lax.broadcasted_iota(jnp.int32, (256, wp), 0)
     bins_w = jax.lax.broadcasted_iota(jnp.int32, (256, w), 0)
+    bins_ext = jax.lax.broadcasted_iota(jnp.int32, (bext, w), 0)
+    shift = 2 * thr + 1
     tiles = tuple((c0, min(c0 + 128, w)) for c0 in range(0, w, 128))
 
     def unit_body(ui, carry):
@@ -161,11 +168,11 @@ def _median_residual_kernel(
             return (
                 x_ref[pl.ds(ui, 1), pl.ds(yc, 1), 0, :]
                 .astype(jnp.int32)
-                .reshape(1, wp)
+                .reshape(1, w)
             )
 
         def onehot(y):
-            return (row(y) == bins_wp).astype(jnp.bfloat16)
+            return (row(y) == bins_w).astype(jnp.bfloat16)
 
         # init the vertical-window histogram centered on the first
         # processed row (rows clamp to the image: BORDER_REPLICATE)
@@ -176,30 +183,31 @@ def _median_residual_kernel(
             jnp.int32(0),
             jnp.int32(2 * r + 1),
             init_body,
-            jnp.zeros((256, wp), jnp.bfloat16),
+            jnp.zeros((256, w), jnp.bfloat16),
         )
 
         def row_body(y, c):
             hist = hist_ref[:, :]
             parts = []
-            for (c0, c1) in tiles:
-                kw = c1 - c0 + k - 1
+            for c0, c1 in tiles:
+                s0 = max(0, c0 - r)
+                s1 = min(w, c1 + r)
                 parts.append(
                     jax.lax.dot_general(
-                        hist[:, c0 : c0 + kw],
-                        s2_ref[c0 : c0 + kw, c0:c1],
+                        hist[:, s0:s1],
+                        s2_ref[s0:s1, c0:c1],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
                 )
             # [256, w] f32 window histograms, exact (counts <= 441)
             win = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-            g = row(y)[:, r : r + w]  # [1, w] center row values
-            # packed field must hold counts up to k*k (<= 2025 for k <= 45,
-            # enforced by the wrapper); packed sum < 2^23 stays f32-exact
-            mask = (bins_w <= g - (thr + 1)).astype(jnp.float32) + jnp.float32(
-                2048.0
-            ) * (bins_w <= g + thr).astype(jnp.float32)
+            g = row(y)  # [1, w] center row values
+            # one extended compare; the low-field mask is a static slice
+            # (packed field must hold counts up to k*k, <= 2025 for k <= 45,
+            # enforced by the wrapper; packed f32 sum < 2^23 stays exact)
+            D = (bins_ext <= g + thr).astype(jnp.float32)
+            mask = jnp.float32(2048.0) * D[:256] + D[shift : shift + 256]
             comb = (win * mask).sum(axis=0, keepdims=True)  # [1, w]
             ci = comb.astype(jnp.int32)
             lo = jnp.bitwise_and(ci, jnp.int32(2047))
@@ -238,21 +246,28 @@ def median_residual_mask_pallas(
     assert k * k < 2048, f"median-residual kernel supports k <= 45, got {k}"
     u, h, w = x.shape
     r = k // 2
-    wp = w + 2 * r
-    # edge-replicate columns once so BORDER_REPLICATE is part of the state
-    xp = jnp.concatenate(
-        [jnp.repeat(x[:, :, :1], r, axis=2), x, jnp.repeat(x[:, :, -1:], r, axis=2)],
-        axis=2,
-    )
-    jj = jnp.arange(wp, dtype=jnp.int32)[:, None]
-    pp = jnp.arange(w, dtype=jnp.int32)[None, :]
-    s2 = ((jj >= pp) & (jj < pp + k)).astype(jnp.bfloat16)  # [wp, w] banded
+    # band matrix with BORDER_REPLICATE folded in:
+    #   band[j, c] = #{d in [c-r, c+r] : clamp(d, 0, w-1) == j}
+    # (border columns carry the replication multiplicity <= r+1; entries are
+    # small integers, bf16-exact, and f32 accumulation of <= k*k is exact).
+    # Dense [w, w] stays small because wide planes are grid-tiled into the
+    # [48, 315, 316] envelope before reaching this kernel (<= 200 KB bf16).
+    jj = np.arange(w)[:, None]
+    pp = np.arange(w)[None, :]
+    band = ((jj >= pp - r) & (jj <= pp + r)).astype(np.float32)
+    band[0, :] += np.maximum(0, np.minimum(r - pp, 2 * r + 1))[0]
+    band[w - 1, :] += np.maximum(0, np.minimum(pp + r - (w - 1), 2 * r + 1))[0]
+    assert (band.sum(axis=0) == k).all()
+    s2 = jnp.asarray(band, dtype=jnp.bfloat16)
+    # extended compare rows for the shift-shared dual rank query,
+    # rounded up to full sublanes
+    bext = -(-(256 + 2 * int(thr) + 1) // 8) * 8
     if row_lo is None:
         row_lo = jnp.zeros((u,), jnp.int32)
     if row_hi is None:
         row_hi = jnp.full((u,), h, jnp.int32)
     kernel = functools.partial(
-        _median_residual_kernel, k=k, thr=int(thr), u=u, h=h, w=w, wp=wp
+        _median_residual_kernel, k=k, thr=int(thr), u=u, h=h, w=w, bext=bext
     )
     out = pl.pallas_call(
         kernel,
@@ -264,9 +279,9 @@ def median_residual_mask_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((256, wp), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((256, w), jnp.bfloat16)],
     )(
-        xp.reshape(u, h, 1, wp),
+        x.reshape(u, h, 1, w),
         s2,
         row_lo.astype(jnp.int32),
         row_hi.astype(jnp.int32),
@@ -281,51 +296,123 @@ def median_residual_mask_pallas(
 
 
 def median_residual_mask_tiled(
-    x: jnp.ndarray, k: int, thr: int, strip: int = 1024
+    x: jnp.ndarray, k: int, thr: int, batch: int = 48
 ) -> jnp.ndarray:
-    """Strip-tiled median_residual_mask_pallas for planes beyond whole-batch
+    """Grid-tiled median_residual_mask_pallas for planes beyond whole-batch
     VMEM residency (same contract, bit-exact).
 
-    The plane is cut into row strips with r-row halos, materialized with
-    clamped row indices (clamping IS BORDER_REPLICATE), and each strip runs
-    through the resident row-bounded kernel — every strip shares one kernel
-    compilation. Strip extraction is a cheap XLA gather; only one strip's
-    in/out planes plus the histogram live in VMEM at a time.
+    The plane is cut into a grid of [315, 316] items with r-px halos on all
+    sides — exactly the kernel envelope the 48-unit production workload
+    compiles and runs in (this environment's Mosaic path deadlocks or
+    check-crashes compiling the MXU median kernel at small batch counts
+    and/or wide rows, so re-tiling into the proven batched shape is both the
+    fast path and the only reliable one). Halos are materialized with
+    clamped indices (clamping IS BORDER_REPLICATE at true image edges); a
+    retained output's window never crosses an item edge, so the kernel's
+    folded border replication only ever affects discarded halo outputs and
+    the true image borders, where it is correct. Items are processed
+    ``batch`` at a time (the last call zero-padded) so every call shares
+    one compiled kernel.
     """
     assert k % 2 == 1 and k >= 1
     u, h, w = x.shape
     r = k // 2
-    outs = []
-    for y0 in range(0, h, strip):
-        rows = min(strip, h - y0)
-        idx = jnp.clip(
-            jnp.arange(y0 - r, y0 + strip + r, dtype=jnp.int32), 0, h - 1
+    ih, iw = 315, 316  # the proven kernel envelope
+    if h <= ih and w <= iw:
+        # plane already inside the envelope: only the batch count is unsafe.
+        # Pad units up to ``batch`` and chunk — no halos or stitching needed.
+        pad = (-u) % batch
+        xp = (
+            jnp.concatenate([x, jnp.zeros((pad, h, w), x.dtype)], axis=0)
+            if pad
+            else x
         )
-        xs = jnp.take(x, idx, axis=1)  # [u, strip + 2r, w]
-        lo = jnp.full((u,), r, jnp.int32)
-        hi = jnp.full((u,), r + rows, jnp.int32)
-        o = median_residual_mask_pallas(xs, k, thr, row_lo=lo, row_hi=hi)
-        outs.append(o[:, r : r + rows])
-    return jnp.concatenate(outs, axis=1)
+        outs = [
+            median_residual_mask_pallas(xp[b0 : b0 + batch], k, thr)
+            for b0 in range(0, xp.shape[0], batch)
+        ]
+        return jnp.concatenate(outs, axis=0)[:u]
+    row_t, col_t = ih - 2 * r, iw - 2 * r
+    assert row_t > 0 and col_t > 0
+    n_r = -(-h // row_t)
+    n_c = -(-w // col_t)
+    ri = jnp.clip(
+        jnp.arange(n_r, dtype=jnp.int32)[:, None] * row_t
+        + jnp.arange(ih, dtype=jnp.int32)[None, :]
+        - r,
+        0,
+        h - 1,
+    )
+    ci = jnp.clip(
+        jnp.arange(n_c, dtype=jnp.int32)[:, None] * col_t
+        + jnp.arange(iw, dtype=jnp.int32)[None, :]
+        - r,
+        0,
+        w - 1,
+    )
+    xi = x[:, ri][:, :, :, ci]  # [u, n_r, ih, n_c, iw]
+    items = xi.transpose(0, 1, 3, 2, 4).reshape(u * n_r * n_c, ih, iw)
+    n = items.shape[0]
+    pad = (-n) % batch
+    if pad:
+        items = jnp.concatenate(
+            [items, jnp.zeros((pad, ih, iw), items.dtype)], axis=0
+        )
+    lo = jnp.full((batch,), r, jnp.int32)
+    hi = jnp.full((batch,), r + row_t, jnp.int32)
+    outs = []
+    for b0 in range(0, items.shape[0], batch):
+        o = median_residual_mask_pallas(
+            items[b0 : b0 + batch], k, thr, row_lo=lo, row_hi=hi
+        )
+        outs.append(o[:, r : r + row_t, r : r + col_t])
+    out = jnp.concatenate(outs, axis=0)[:n]
+    out = (
+        out.reshape(u, n_r, n_c, row_t, col_t)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(u, n_r * row_t, n_c * col_t)
+    )
+    return out[:, :h, :w]
+
+
+_MEDIAN_VMEM_BUDGET = 15 * 2**20  # the TPU scoped-VMEM limit is 16 MB
+# (compiler: "Scoped allocation ... limit 16.00M"); 15 MB keeps headroom
+
+
+def _median_vmem_bytes(u: int, h: int, w: int) -> int:
+    """Estimated VMEM working set of the resident kernel: u8 in+out planes
+    plus the w-wide temporaries (hist bf16, extended-compare iota/D at the
+    worst-case bext=768, win/mask f32, dense folded band matrix)."""
+    temps = w * (256 * 2 + 2 * 768 * 4 + 2 * 256 * 4) + 2 * w * w
+    return 2 * u * h * w + temps
 
 
 def median_fits(shape) -> bool:
-    """Whole-batch VMEM residency gate for median_residual_mask_pallas."""
-    _, h, w = shape
+    """Whole-batch VMEM residency gate for median_residual_mask_pallas.
+
+    Batches under 16 route to the tiled path (which pads them into the
+    batched envelope): this environment's Mosaic compile of the MXU median
+    kernel at tiny unit counts was observed to deadlock (u=1 with the
+    pre-MXU-era formulation too), and the padded call reuses the one
+    already-compiled production program instead of gambling on a fresh
+    compile per odd shape (u=16 and u=48 verified compiling + bit-exact)."""
+    u, h, w = shape
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    return on_tpu and w * 256 * 4 + 2 * h * w < 8 * 1024 * 1024
+    return (
+        on_tpu and u >= 16 and _median_vmem_bytes(u, h, w) < _MEDIAN_VMEM_BUDGET
+    )
 
 
 def median_fits_tiled(shape) -> bool:
-    """Strip-tiled gate: one [1024 + 2r, wp] strip's in/out planes plus the
-    [256, wp] bf16 histogram and its temporaries in VMEM."""
-    _, _, w = shape
+    """Grid-tiled gate: every call re-tiles into the fixed [48, 315, 316]
+    item envelope, which always fits — the gate only checks the platform
+    (the item halo needs k <= 45, already enforced by the k*k < 2048 packed
+    rank-query limit)."""
+    del shape
     try:
-        on_tpu = jax.devices()[0].platform == "tpu"
+        return jax.devices()[0].platform == "tpu"
     except Exception:
-        on_tpu = False
-    wp = -(-w // 128) * 128 + 128
-    return on_tpu and (2 * 1070 * wp + 8 * 256 * wp) < 15 * 2**20
+        return False
