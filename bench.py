@@ -163,8 +163,9 @@ def main():
     # steady-state device throughput: N passes chained on device in one
     # dispatch (each pass data-depends on the previous so XLA cannot hoist),
     # with the verdicts fetched at the end — the per-image time of a
-    # production streaming pipeline.
-    N = 8
+    # production streaming pipeline. N amortizes the per-dispatch tunnel
+    # overhead (~18 ms here); device time per pass is N-independent.
+    N = 32
 
     def chained(img):
         def body(i, carry):
