@@ -121,8 +121,11 @@ def median_blur_u8_pallas(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return out.reshape(u, h, w)
 
 
+_CHUNK = 4  # units grouped into one matmul M dimension (G*256 rows)
+
+
 def _median_residual_kernel(
-    x_ref, s2_ref, lo_ref, hi_ref, out_ref, hist_ref, *, k, thr, u, h, w, bext
+    x_ref, s2_ref, lo_ref, hi_ref, out_ref, hist_ref, *, k, thr, u, h, w
 ):
     """Fused: out = 255 where |x - median_k(x)| > thr else 0.
 
@@ -134,7 +137,7 @@ def _median_residual_kernel(
     (out-of-range thresholds degenerate correctly: empty/full masks).
 
     Layout/engine choices (1.8x over the sublane-major VPU formulation):
-    - hist is [256 values-on-sublanes, w cols-on-lanes] so row loads stay
+    - hist is [values-on-sublanes, w cols-on-lanes] so row loads stay
       lane-major (no per-row cross-lane transposes); BORDER_REPLICATE is
       folded into the band matrix (border columns carry the replication
       multiplicity), so the input needs no edge-padded copy at all;
@@ -144,37 +147,61 @@ def _median_residual_kernel(
       <= 441, exact), tiled into 128-column output strips so each strip
       contracts only its (128 + k - 1)-wide K band (2.2x fewer MACs at
       w=316, k=21; measured 8.3 -> 6.8 ms on the bench workload);
-    - the two rank queries share ONE extended compare D[b <= g+thr] over
-      [256 + 2thr + 1] bin rows: [b <= g-thr-1] is D shifted by 2thr+1,
-      a static sublane slice (saves a full [256, w] compare+convert per
-      row; measured 6.9 -> 6.1 ms);
+    - _CHUNK units are grouped into the matmul M dimension: per-unit
+      [256, K]@[K, 128] matmuls are too small to fill the MXU, so the
+      histogram state is the flat [_CHUNK*256, w] stack of the group's
+      per-unit histograms and every (row, col-tile) step issues ONE
+      [1024, K]@[K, 128] matmul (measured 6.35 -> 5.38 ms on the full-row
+      48-unit envelope; per-chunk HBM DMA variants measured no better and
+      Mosaic rejects slicing the (·, ·, 1, w) layout for DMA, so x/out stay
+      whole-batch VMEM-resident); the group processes the UNION of its
+      units' ROI row ranges (unions only add work, never change values);
     - the two rank queries pack into ONE mul+reduce: weight 2048*[v<=g+thr]
-      + [v<=g-thr-1]; the packed f32 sum < 2^23 stays exact (fields hold
-      counts <= k*k <= 2025) and splits back with shift/mask.
+      + [v<=g-thr-1] built from E = bin - g with two scalar-threshold
+      compares; the packed f32 sum < 2^23 stays exact (fields hold counts
+      <= k*k <= 2025) and splits back with shift/mask.
     """
     r = k // 2
     rank = (k * k + 1) // 2
-    bins_w = jax.lax.broadcasted_iota(jnp.int32, (256, w), 0)
-    bins_ext = jax.lax.broadcasted_iota(jnp.int32, (bext, w), 0)
-    shift = 2 * thr + 1
+    G = _CHUNK
+    m = G * 256
+    bins_flat = jnp.bitwise_and(
+        jax.lax.broadcasted_iota(jnp.int32, (m, w), 0), jnp.int32(255)
+    )
     tiles = tuple((c0, min(c0 + 128, w)) for c0 in range(0, w, 128))
 
-    def unit_body(ui, carry):
-        y_lo = lo_ref[ui]
-        y_hi = hi_ref[ui]
+    def chunk_body(ci, carry):
+        c0u = ci * jnp.int32(G)
 
-        def row(y):
+        # group row range = union of the group's per-unit ROI row ranges
+        # (padded units carry the neutral empty range lo=h, hi=0)
+        def mn(i, c):
+            return jnp.minimum(c, lo_ref[c0u + i])
+
+        def mx(i, c):
+            return jnp.maximum(c, hi_ref[c0u + i])
+
+        y_lo = jax.lax.fori_loop(jnp.int32(0), jnp.int32(G), mn, jnp.int32(h))
+        y_hi = jax.lax.fori_loop(jnp.int32(0), jnp.int32(G), mx, jnp.int32(0))
+
+        def rows_flat(y):
+            """[G*256, w] i32: unit g's clamped row y over its 256-block."""
             yc = jnp.maximum(jnp.minimum(y, jnp.int32(h - 1)), jnp.int32(0))
-            return (
-                x_ref[pl.ds(ui, 1), pl.ds(yc, 1), 0, :]
-                .astype(jnp.int32)
-                .reshape(1, w)
-            )
+            parts = [
+                jnp.broadcast_to(
+                    x_ref[pl.ds(c0u + g, 1), pl.ds(yc, 1), 0, :]
+                    .astype(jnp.int32)
+                    .reshape(1, w),
+                    (256, w),
+                )
+                for g in range(G)
+            ]
+            return jnp.concatenate(parts, axis=0)
 
         def onehot(y):
-            return (row(y) == bins_w).astype(jnp.bfloat16)
+            return (rows_flat(y) == bins_flat).astype(jnp.bfloat16)
 
-        # init the vertical-window histogram centered on the first
+        # init the vertical-window histograms centered on the first
         # processed row (rows clamp to the image: BORDER_REPLICATE)
         def init_body(dy, acc):
             return acc + onehot(y_lo + dy - r)
@@ -183,45 +210,63 @@ def _median_residual_kernel(
             jnp.int32(0),
             jnp.int32(2 * r + 1),
             init_body,
-            jnp.zeros((256, w), jnp.bfloat16),
+            jnp.zeros((m, w), jnp.bfloat16),
         )
 
         def row_body(y, c):
             hist = hist_ref[:, :]
-            parts = []
+            gflat = rows_flat(y)  # [m, w] center row values per unit block
+            # (packed field must hold counts up to k*k, <= 2025 for k <= 45,
+            # enforced by the wrapper; packed f32 sum < 2^23 stays exact)
+            E = bins_flat - gflat
+            mask = jnp.where(
+                E <= -(thr + 1),
+                jnp.float32(2049.0),
+                jnp.where(E <= thr, jnp.float32(2048.0), jnp.float32(0.0)),
+            )
+            combs = []
             for c0, c1 in tiles:
                 s0 = max(0, c0 - r)
                 s1 = min(w, c1 + r)
-                parts.append(
-                    jax.lax.dot_general(
-                        hist[:, s0:s1],
-                        s2_ref[s0:s1, c0:c1],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                win = jax.lax.dot_general(
+                    hist[:, s0:s1],
+                    s2_ref[s0:s1, c0:c1],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [m, c1-c0] f32 window histograms, exact (counts <= 441)
+                wm = win * mask[:, c0:c1]
+                combs.append(
+                    jnp.concatenate(
+                        [
+                            wm[g * 256 : (g + 1) * 256, :].sum(
+                                axis=0, keepdims=True
+                            )
+                            for g in range(G)
+                        ],
+                        axis=0,
                     )
-                )
-            # [256, w] f32 window histograms, exact (counts <= 441)
-            win = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-            g = row(y)  # [1, w] center row values
-            # one extended compare; the low-field mask is a static slice
-            # (packed field must hold counts up to k*k, <= 2025 for k <= 45,
-            # enforced by the wrapper; packed f32 sum < 2^23 stays exact)
-            D = (bins_ext <= g + thr).astype(jnp.float32)
-            mask = jnp.float32(2048.0) * D[:256] + D[shift : shift + 256]
-            comb = (win * mask).sum(axis=0, keepdims=True)  # [1, w]
-            ci = comb.astype(jnp.int32)
-            lo = jnp.bitwise_and(ci, jnp.int32(2047))
-            hi = jnp.right_shift(ci, jnp.int32(11))
-            bit = ((lo >= rank) | (hi < rank)).astype(jnp.int32)
-            out_ref[pl.ds(ui, 1), pl.ds(y, 1), 0, :] = (
-                (bit * 255).astype(jnp.uint8).reshape(1, 1, w)
+                )  # [G, c1-c0]
+            comb = (
+                jnp.concatenate(combs, axis=1) if len(combs) > 1 else combs[0]
             )
+            cc_ = comb.astype(jnp.int32)  # [G, w]
+            lo = jnp.bitwise_and(cc_, jnp.int32(2047))
+            hi = jnp.right_shift(cc_, jnp.int32(11))
+            bit = ((lo >= rank) | (hi < rank)).astype(jnp.int32)
+            byte = (bit * 255).astype(jnp.uint8)  # [G, w]
+            for g in range(G):
+                out_ref[pl.ds(c0u + g, 1), pl.ds(y, 1), 0, :] = byte[
+                    g : g + 1, :
+                ].reshape(1, 1, w)
             hist_ref[:, :] = hist + onehot(y + r + 1) - onehot(y - r)
             return c
 
-        return jax.lax.fori_loop(y_lo, y_hi, row_body, carry)
+        jax.lax.fori_loop(y_lo, y_hi, row_body, jnp.int32(0))
+        return carry
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(u), unit_body, jnp.int32(0))
+    jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(u // _CHUNK), chunk_body, jnp.int32(0)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "thr"))
@@ -259,19 +304,27 @@ def median_residual_mask_pallas(
     band[w - 1, :] += np.maximum(0, np.minimum(pp + r - (w - 1), 2 * r + 1))[0]
     assert (band.sum(axis=0) == k).all()
     s2 = jnp.asarray(band, dtype=jnp.bfloat16)
-    # extended compare rows for the shift-shared dual rank query,
-    # rounded up to full sublanes
-    bext = -(-(256 + 2 * int(thr) + 1) // 8) * 8
     if row_lo is None:
         row_lo = jnp.zeros((u,), jnp.int32)
     if row_hi is None:
         row_hi = jnp.full((u,), h, jnp.int32)
+    row_lo = row_lo.astype(jnp.int32)
+    row_hi = row_hi.astype(jnp.int32)
+    pad_u = (-u) % _CHUNK
+    if pad_u:
+        # pad to a whole group; padded units carry the EMPTY row range
+        # (lo=h, hi=0), the neutral element of the group's min/max union,
+        # so they add no rows to any group they share
+        x = jnp.concatenate([x, jnp.zeros((pad_u, h, w), x.dtype)], axis=0)
+        row_lo = jnp.concatenate([row_lo, jnp.full((pad_u,), h, jnp.int32)])
+        row_hi = jnp.concatenate([row_hi, jnp.zeros((pad_u,), jnp.int32)])
+    up = u + pad_u
     kernel = functools.partial(
-        _median_residual_kernel, k=k, thr=int(thr), u=u, h=h, w=w, bext=bext
+        _median_residual_kernel, k=k, thr=int(thr), u=up, h=h, w=w
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((u, h, 1, w), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((up, h, 1, w), jnp.uint8),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -279,14 +332,14 @@ def median_residual_mask_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((256, w), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((_CHUNK * 256, w), jnp.bfloat16)],
     )(
-        x.reshape(u, h, 1, w),
+        x.reshape(up, h, 1, w),
         s2,
-        row_lo.astype(jnp.int32),
-        row_hi.astype(jnp.int32),
+        row_lo,
+        row_hi,
     )
-    return out.reshape(u, h, w)
+    return out.reshape(up, h, w)[:u]
 
 
 # ---------------------------------------------------------------------------
@@ -381,9 +434,13 @@ _MEDIAN_VMEM_BUDGET = 15 * 2**20  # the TPU scoped-VMEM limit is 16 MB
 
 def _median_vmem_bytes(u: int, h: int, w: int) -> int:
     """Estimated VMEM working set of the resident kernel: u8 in+out planes
-    plus the w-wide temporaries (hist bf16, extended-compare iota/D at the
-    worst-case bext=768, win/mask f32, dense folded band matrix)."""
-    temps = w * (256 * 2 + 2 * 768 * 4 + 2 * 256 * 4) + 2 * w * w
+    plus the grouped w-wide temporaries (flat [_CHUNK*256, w] hist bf16,
+    bins/E/mask/onehot temporaries, dense folded band matrix)."""
+    m = _CHUNK * 256
+    # ~3 m-row f32/i32 temporaries live at once (E, mask, win) on top of
+    # the bf16 hist scratch; the 48-unit production envelope lands at
+    # ~14 MB and is verified compiling + bit-exact
+    temps = w * (m * 2 + 3 * m * 4) + 2 * w * w
     return 2 * u * h * w + temps
 
 
