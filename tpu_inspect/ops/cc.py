@@ -76,12 +76,14 @@ def _nbhd_min(vals: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def label_components(fg: jnp.ndarray) -> jnp.ndarray:
+def label_components(fg: jnp.ndarray, plan: str = "crc") -> jnp.ndarray:
     """fg: [U, H, W] bool -> int32 root labels (y*W+x of raster-first pixel).
 
     Background pixels get _BIG (2^30). Dispatches to the VMEM-resident
     Pallas fixpoint on TPU when shapes fit (~10x faster than the XLA
-    while-loop, which round-trips HBM every iteration).
+    while-loop, which round-trips HBM every iteration). ``plan`` is the
+    Pallas kernel's sweep-plan perf hint (result-invariant): "crc" for
+    large blob masks, "rc" for sparse specks.
     """
     u, h, w = fg.shape
     hw = h * w
@@ -96,7 +98,7 @@ def label_components(fg: jnp.ndarray) -> jnp.ndarray:
     if on_tpu and (max(h, w) + 1) * (1 << k_pow) < 2**31 and vmem_est < 10 * 2**20:
         from tpu_inspect.ops.cc_pallas import label_components_pallas
 
-        return label_components_pallas(fg)
+        return label_components_pallas(fg, plan=plan)
     yy = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 1)
     xx = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 2)
     init = jnp.where(fg, yy * w + xx, _BIG)

