@@ -119,6 +119,34 @@ def test_pallas_component_stats_parity():
             assert area[i] == len(xs) and sx[i] == xs.sum() and sy[i] == ys.sum()
 
 
+def test_pallas_fused_label_stats_parity():
+    """Fused label+stats kernel vs the split label/stats kernels (and the
+    fused path is what largest_component_sums dispatches to on TPU)."""
+    import jax.numpy as jnp
+
+    from tpu_inspect.ops.cc_pallas import (
+        component_stats_pallas,
+        fused_stats_fits,
+        label_components_pallas,
+        largest_component_stats_pallas,
+    )
+    from tpu_inspect.synthetic import random_blob_mask
+
+    rng = np.random.RandomState(7)
+    for h, w in [(40, 44), (8, 128), (315, 316)]:
+        fg = np.stack(
+            [random_blob_mask(h, w, seed=s) > 0 for s in range(4)]
+            + [rng.rand(h, w) > 0.5 for _ in range(2)]
+        )
+        fg[0] = False  # empty unit
+        assert fused_stats_fits(fg.shape)
+        fused = largest_component_stats_pallas(jnp.asarray(fg))
+        labels = label_components_pallas(jnp.asarray(fg))
+        split = component_stats_pallas(labels, h=h, w=w)
+        for a, b in zip(fused, split):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pallas_blob_select_parity():
     """Blob filter kernel vs the XLA sort-based path (forced by passing a
     traced min_area) across min/max sweeps."""

@@ -180,9 +180,20 @@ def largest_component_sums(fg: jnp.ndarray):
     """
     u, h, w = fg.shape
     hw = h * w
-    labels = label_components(fg)
 
-    from tpu_inspect.ops.cc_pallas import component_stats_pallas, stats_fits
+    from tpu_inspect.ops.cc_pallas import (
+        component_stats_pallas,
+        fused_stats_fits,
+        largest_component_stats_pallas,
+        stats_fits,
+    )
+
+    if fused_stats_fits(fg.shape):
+        # TPU: one kernel — label fixpoint + root enumeration with the
+        # labels VMEM-resident (no [U, H, W] int32 HBM round trip)
+        return largest_component_stats_pallas(fg)
+
+    labels = label_components(fg)
 
     if stats_fits(fg.shape):
         # TPU: sequential-over-roots VMEM reduction (no [U, H*W] sort)

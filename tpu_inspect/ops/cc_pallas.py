@@ -76,78 +76,16 @@ def _label_kernel(
     x_ref, out_ref, scratch_ref, sem,
     *, u: int, h: int, w: int, k_pow: int, plan: str,
 ):
-    K = jnp.int32(1 << k_pow)
-
+    # Sweep plan per call site: "crc" (col/row/col) — the extra sweep
+    # makes one body pass converge typical mold masks (hole-punched,
+    # convex-ish) where the two-sweep body needed two; "rc" — cheaper
+    # body for sparse speck masks (defect candidates) that converge in
+    # one pass either way. Measured 1.83 -> 1.08 ms across the two
+    # segmentation-side calls.
     def unit_body(ui, carry):
         # i8 vector compares are unsupported on this target: cast first
         m = x_ref[pl.ds(ui, 1), :, :].reshape(h, w).astype(jnp.int32) > 0
-        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        init = jnp.where(m, yy * w + xx, _BIG)
-
-        # run keys (precomputed once per unit): key offset = run_id * K.
-        # Backward keys come from the forward prefix by subtraction
-        # (bwd[i] = total - fwd[i] + notm[i]) — a lane/sublane broadcast of
-        # the last prefix column instead of a second 9-step shift chain.
-        notm = (~m).astype(jnp.int32)
-        row_fwd = _prefix_sum(notm, axis=1, reverse=False)
-        col_fwd = _prefix_sum(notm, axis=0, reverse=False)
-        row_tot = jnp.broadcast_to(row_fwd[:, w - 1 : w], (h, w))
-        col_tot = jnp.broadcast_to(col_fwd[h - 1 : h, :], (h, w))
-        row_bwd = (row_tot - row_fwd + notm) * K
-        col_bwd = (col_tot - col_fwd + notm) * K
-        row_fwd = row_fwd * K
-        col_fwd = col_fwd * K
-
-        def seg_sweep(lab, axis, ids_f, ids_b):
-            v = jnp.where(m, lab, K - 1)
-            f = _prefix_min(v - ids_f, axis, False) + ids_f
-            b = _prefix_min(v - ids_b, axis, True) + ids_b
-            return jnp.where(m, jnp.minimum(lab, jnp.minimum(f, b)), lab)
-
-        def min3x3(lab):
-            # separable 3x3 min: horizontal 3-min then vertical 3-min of it
-            # covers all 8 neighbors + center in 4 shifts instead of 8
-            hmin = jnp.minimum(
-                lab,
-                jnp.minimum(
-                    _shift2d(lab, 0, -1, _BIG), _shift2d(lab, 0, 1, _BIG)
-                ),
-            )
-            vmin = jnp.minimum(
-                hmin,
-                jnp.minimum(
-                    _shift2d(hmin, -1, 0, _BIG), _shift2d(hmin, 1, 0, _BIG)
-                ),
-            )
-            return jnp.where(m, vmin, _BIG)
-
-        # Convergence test lives in `cond`: 3x3-min stability implies
-        # adjacent fg labels are pairwise equal, hence constant per
-        # component — full convergence. The expensive segmented sweeps
-        # (the accelerator) therefore never run on the final verify pass.
-        # (Mosaic scalar reductions need 32-bit types, hence the int cast.)
-        def cond(lab):
-            return (min3x3(lab) != lab).astype(jnp.int32).max() > 0
-
-        # Sweep plan per call site: "crc" (col/row/col) — the extra sweep
-        # makes one body pass converge typical mold masks (hole-punched,
-        # convex-ish) where the two-sweep body needed two; "rc" — cheaper
-        # body for sparse speck masks (defect candidates) that converge in
-        # one pass either way. The do-while (body applied once before the
-        # loop — fresh init labels are never converged for any mask with a
-        # >=2-px component) drops one cond evaluation. Measured
-        # 1.83 -> 1.08 ms across the two segmentation-side calls.
-        def body(lab):
-            new = min3x3(lab)
-            for ax in plan:
-                if ax == "r":
-                    new = seg_sweep(new, 1, row_fwd, row_bwd)
-                else:
-                    new = seg_sweep(new, 0, col_fwd, col_bwd)
-            return new
-
-        lab = jax.lax.while_loop(cond, body, body(init))
+        lab = _label_fixpoint(m, h, w, k_pow, plan)
         # int32 labels for the whole batch exceed VMEM: DMA per unit to HBM.
         # Scratch/out are tile-padded (8, 128) for DMA alignment.
         hp, wp = scratch_ref.shape
@@ -182,59 +120,131 @@ def _prefix_sum(a, axis, reverse):
     return a
 
 
-def _stats_kernel(
-    lab_hbm, mask_out, stats_out, lab_buf, mask_buf, sem_in, sem_out,
-    *, u: int, h: int, w: int
-):
-    """Per-unit largest-component selection + stats, labels VMEM-resident.
+def _label_fixpoint(m, h: int, w: int, k_pow: int, plan: str):
+    """VMEM-resident min-label fixpoint over fg plane `m` ([h, w] bool).
+
+    Shared body of the label and fused label+stats kernels; returns int32
+    labels (min linear index per 8-connected component, _BIG on background).
+    """
+    K = jnp.int32(1 << k_pow)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    init = jnp.where(m, yy * w + xx, _BIG)
+
+    # run keys (precomputed once per unit): key offset = run_id * K.
+    # Backward keys come from the forward prefix by subtraction
+    # (bwd[i] = total - fwd[i] + notm[i]) — a lane/sublane broadcast of
+    # the last prefix column instead of a second 9-step shift chain.
+    notm = (~m).astype(jnp.int32)
+    row_fwd = _prefix_sum(notm, axis=1, reverse=False)
+    col_fwd = _prefix_sum(notm, axis=0, reverse=False)
+    row_tot = jnp.broadcast_to(row_fwd[:, w - 1 : w], (h, w))
+    col_tot = jnp.broadcast_to(col_fwd[h - 1 : h, :], (h, w))
+    row_bwd = (row_tot - row_fwd + notm) * K
+    col_bwd = (col_tot - col_fwd + notm) * K
+    row_fwd = row_fwd * K
+    col_fwd = col_fwd * K
+
+    def seg_sweep(lab, axis, ids_f, ids_b):
+        v = jnp.where(m, lab, K - 1)
+        f = _prefix_min(v - ids_f, axis, False) + ids_f
+        b = _prefix_min(v - ids_b, axis, True) + ids_b
+        return jnp.where(m, jnp.minimum(lab, jnp.minimum(f, b)), lab)
+
+    def min3x3(lab):
+        # separable 3x3 min: horizontal 3-min then vertical 3-min of it
+        # covers all 8 neighbors + center in 4 shifts instead of 8
+        hmin = jnp.minimum(
+            lab,
+            jnp.minimum(_shift2d(lab, 0, -1, _BIG), _shift2d(lab, 0, 1, _BIG)),
+        )
+        vmin = jnp.minimum(
+            hmin,
+            jnp.minimum(_shift2d(hmin, -1, 0, _BIG), _shift2d(hmin, 1, 0, _BIG)),
+        )
+        return jnp.where(m, vmin, _BIG)
+
+    # Convergence test lives in `cond`: 3x3-min stability implies adjacent
+    # fg labels are pairwise equal, hence constant per component — full
+    # convergence. The expensive segmented sweeps therefore never run on
+    # the final verify pass. Do-while: fresh init labels are never
+    # converged for any mask with a >=2-px component.
+    def cond(lab):
+        return (min3x3(lab) != lab).astype(jnp.int32).max() > 0
+
+    def body(lab):
+        new = min3x3(lab)
+        for ax in plan:
+            if ax == "r":
+                new = seg_sweep(new, 1, row_fwd, row_bwd)
+            else:
+                new = seg_sweep(new, 0, col_fwd, col_bwd)
+        return new
+
+    return jax.lax.while_loop(cond, body, body(init))
+
+
+def _largest_stats(lab, w: int):
+    """Largest-component selection from a VMEM label plane.
 
     Enumerates component roots sequentially (each root is the unique pixel
     with label == own linear index) with vectorized full-plane compares and
     reductions per root — no sort, no scatter. cv2's area tie-break (2x2
     block raster order of first appearance, BBDT numbering) is reproduced
     via the min block-rank of each candidate (see ops.cc.largest_component).
+
+    ``lab`` may be tile-padded beyond the logical width ``w`` (padding must
+    carry _BIG); returns (member mask int32, area, sx, sy) of the winner.
     """
-    hp, wp = lab_buf.shape
+    hp, wp = lab.shape
     bw2 = (w + 1) // 2
+    fgm = lab < _BIG
+    yy = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    lin = yy * w + xx
+    rootf = jnp.where(fgm & (lab == lin), lin, _BIG)
+    br = ((yy >> 1) * bw2 + (xx >> 1)) * 4 + (yy & 1) * 2 + (xx & 1)
+
+    def next_root(r):
+        return jnp.where(rootf > r, rootf, _BIG).min()
+
+    def cond(c):
+        return c[0] < _BIG
+
+    def body(c):
+        nxt, b_root, b_area, b_tie = c
+        member = lab == nxt
+        area = _sum_i32(member.astype(jnp.int32))
+        tie = jnp.where(member, br, _BIG).min()
+        better = (area > b_area) | ((area == b_area) & (tie < b_tie))
+        b_root = jnp.where(better, nxt, b_root)
+        b_area = jnp.where(better, area, b_area)
+        b_tie = jnp.where(better, tie, b_tie)
+        return next_root(nxt), b_root, b_area, b_tie
+
+    _, best_root, best_area, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (next_root(jnp.int32(-1)), _BIG, jnp.int32(0), _BIG),
+    )
+    bm = fgm & (lab == best_root)
+    bmi = bm.astype(jnp.int32)
+    sx = _sum_i32(bmi * xx)
+    sy = _sum_i32(bmi * yy)
+    return bmi, best_area, sx, sy
+
+
+def _stats_kernel(
+    lab_hbm, mask_out, stats_out, lab_buf, mask_buf, sem_in, sem_out,
+    *, u: int, h: int, w: int
+):
+    """Per-unit largest-component selection + stats, labels VMEM-resident."""
 
     def unit_body(ui, carry):
         cp = pltpu.make_async_copy(lab_hbm.at[ui], lab_buf, sem_in)
         cp.start()
         cp.wait()
-        lab = lab_buf[:, :]
-        fgm = lab < _BIG
-        yy = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
-        xx = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
-        lin = yy * w + xx
-        rootf = jnp.where(fgm & (lab == lin), lin, _BIG)
-        br = ((yy >> 1) * bw2 + (xx >> 1)) * 4 + (yy & 1) * 2 + (xx & 1)
-
-        def next_root(r):
-            return jnp.where(rootf > r, rootf, _BIG).min()
-
-        def cond(c):
-            return c[0] < _BIG
-
-        def body(c):
-            nxt, b_root, b_area, b_tie = c
-            member = lab == nxt
-            area = _sum_i32(member.astype(jnp.int32))
-            tie = jnp.where(member, br, _BIG).min()
-            better = (area > b_area) | ((area == b_area) & (tie < b_tie))
-            b_root = jnp.where(better, nxt, b_root)
-            b_area = jnp.where(better, area, b_area)
-            b_tie = jnp.where(better, tie, b_tie)
-            return next_root(nxt), b_root, b_area, b_tie
-
-        _, best_root, best_area, _ = jax.lax.while_loop(
-            cond,
-            body,
-            (next_root(jnp.int32(-1)), _BIG, jnp.int32(0), _BIG),
-        )
-        bm = fgm & (lab == best_root)
-        bmi = bm.astype(jnp.int32)
-        sx = _sum_i32(bmi * xx)
-        sy = _sum_i32(bmi * yy)
+        bmi, best_area, sx, sy = _largest_stats(lab_buf[:, :], w)
 
         # every operand explicitly int32: weak-typed Python literals become
         # int64 under the global x64 flag, and 64-bit converts recurse /
@@ -317,6 +327,112 @@ def stats_fits(shape) -> bool:
         on_tpu
         and max(h, w) * h * w < 2**31
         and 8 * hp * wp * 4 < 12 * 2**20
+    )
+
+
+def _label_stats_kernel(
+    x_ref, mask_out, stats_out, mask_buf, sem_out,
+    *, u: int, h: int, w: int, k_pow: int, plan: str,
+):
+    """Fused label fixpoint + largest-component stats: the label plane never
+    leaves VMEM (the split kernels round-trip [U, H, W] int32 labels through
+    HBM twice per call site)."""
+    hp, wp = mask_buf.shape
+
+    def unit_body(ui, carry):
+        m = x_ref[pl.ds(ui, 1), :, :].reshape(h, w).astype(jnp.int32) > 0
+        lab = _label_fixpoint(m, h, w, k_pow, plan)
+        bmi, best_area, sx, sy = _largest_stats(lab, w)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+        z = jnp.zeros((1, 8, 128), jnp.int32)
+        has_i = jnp.where(best_area > 0, jnp.int32(1), jnp.int32(0))
+        row = (
+            jnp.where(lane == 0, best_area, z)
+            + jnp.where(lane == 1, sx, z)
+            + jnp.where(lane == 2, sy, z)
+            + jnp.where(lane == 3, has_i, z)
+        )
+        stats_out[pl.ds(ui, 1), :, :] = row
+
+        out = bmi
+        if hp > h:
+            out = jnp.concatenate(
+                [out, jnp.zeros((hp - h, w), jnp.int32)], axis=0
+            )
+        if wp > w:
+            out = jnp.concatenate(
+                [out, jnp.zeros((hp, wp - w), jnp.int32)], axis=1
+            )
+        mask_buf[:, :] = out.astype(jnp.uint8)
+        cp_out = pltpu.make_async_copy(mask_buf, mask_out.at[ui], sem_out)
+        cp_out.start()
+        cp_out.wait()
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(u), unit_body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
+def largest_component_stats_pallas(fg: jnp.ndarray, plan: str = "crc"):
+    """fg: [U, H, W] bool -> (best_mask [U,H,W] bool, area [U] i32,
+    sx [U] i32, sy [U] i32, has_fg [U] bool): label_components_pallas +
+    component_stats_pallas fused into one kernel (labels stay VMEM-resident;
+    same results including the cv2 block-raster tie-break). Gate with
+    ``fused_stats_fits``."""
+    u, h, w = fg.shape
+    hw = h * w
+    k_pow = max(2, int(np.ceil(np.log2(hw + 2))))
+    assert (max(h, w) + 1) * (1 << k_pow) < 2**31, "unit too large for i32 keys"
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    kernel = functools.partial(
+        _label_stats_kernel, u=u, h=h, w=w, k_pow=k_pow, plan=plan
+    )
+    mask, stats = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((u, hp, wp), jnp.uint8),
+            jax.ShapeDtypeStruct((u, 8, 128), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(fg.astype(jnp.uint8))
+    return (
+        mask[:, :h, :w] > 0,
+        stats[:, 0, 0],
+        stats[:, 0, 1],
+        stats[:, 0, 2],
+        stats[:, 0, 3] > 0,
+    )
+
+
+def fused_stats_fits(shape) -> bool:
+    """Gate for largest_component_stats_pallas: the label-kernel VMEM
+    budget (whole fg batch + fixpoint planes) AND the stats int32-sum
+    bound must both hold."""
+    u, h, w = shape
+    hw = h * w
+    k_pow = max(2, int(np.ceil(np.log2(hw + 2))))
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    wp = -(-w // 128) * 128
+    hp = -(-h // 8) * 8
+    vmem_est = u * h * w + 3 * hp * wp * 4
+    return (
+        on_tpu
+        and (max(h, w) + 1) * (1 << k_pow) < 2**31
+        and vmem_est < 10 * 2**20
+        and max(h, w) * h * w < 2**31
     )
 
 

@@ -169,6 +169,15 @@ def _median_residual_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (m, w), 0), jnp.int32(255)
     )
     tiles = tuple((c0, min(c0 + 128, w)) for c0 in range(0, w, 128))
+    # block-ones [G, m] matrix: the per-group sum over 256 value-sublanes
+    # rides the MXU as ONE tiny matmul instead of a log-depth tree of
+    # cross-sublane adds (~550 VPU ops/row saved; partials < 2^20 so f32
+    # accumulation is exact)
+    grp_rows = jax.lax.broadcasted_iota(jnp.int32, (G, m), 0)
+    grp_cols = jax.lax.broadcasted_iota(jnp.int32, (G, m), 1)
+    ones_block = (
+        jnp.right_shift(grp_cols, jnp.int32(8)) == grp_rows
+    ).astype(jnp.float32)
 
     def chunk_body(ci, carry):
         c0u = ci * jnp.int32(G)
@@ -236,14 +245,11 @@ def _median_residual_kernel(
                 )  # [m, c1-c0] f32 window histograms, exact (counts <= 441)
                 wm = win * mask[:, c0:c1]
                 combs.append(
-                    jnp.concatenate(
-                        [
-                            wm[g * 256 : (g + 1) * 256, :].sum(
-                                axis=0, keepdims=True
-                            )
-                            for g in range(G)
-                        ],
-                        axis=0,
+                    jax.lax.dot_general(
+                        ones_block,
+                        wm,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
                     )
                 )  # [G, c1-c0]
             comb = (
