@@ -186,3 +186,179 @@ def blob_select_fits(shape) -> bool:
     wp = -(-(w + 1) // 128) * 128
     # contourArea 2x sums and lin fit int32 comfortably for unit crops
     return on_tpu and h * w < 2**24 and 10 * hp * wp * 4 < 12 * 2**20
+
+
+# ---------------------------------------------------------------------------
+# Fully fused blob filter: exterior flood + fill-region labeling + top-blob
+# reachability + Green's-area select in ONE kernel (per-unit VMEM-resident)
+# ---------------------------------------------------------------------------
+
+
+def _blob_filter_kernel(
+    max_hbm,
+    fg_hbm,
+    out_hbm,
+    fg_buf,
+    out_buf,
+    sem_in,
+    sem_out,
+    *,
+    u: int,
+    h: int,
+    w: int,
+    k_pow: int,
+    min_x2: int,
+):
+    """The whole filter_and_select device stage per unit, VMEM-resident:
+
+    1. exterior = 4-connected flood of background from the plane border
+       (the padded plane's border stands in for the image border — padding
+       is background connected to the logical border columns/rows);
+    2. fill regions = ~exterior, min-index labeled (8-connected);
+    3. top-level blobs = fg reachable from fill-region roots (a fill
+       region's raster-first pixel is fg and belongs to its top blob, so a
+       seeded 8-connected flood through fg replaces a second CC labeling);
+    4. per-root Green's contourArea + min/max filter + fill-region paint
+       (the _select_kernel body).
+
+    The split formulation ran four kernels with [U, H, W] planes
+    round-tripping HBM (+ XLA packing glue) between them.
+    """
+    from tpu_inspect.ops.cc_pallas import _label_fixpoint
+    from tpu_inspect.ops.flood_pallas import _local_fixpoint
+
+    hp, wp = fg_buf.shape
+    tbl = np.asarray(CONTOUR_TABLE_X2)
+
+    def unit_body(ui, carry):
+        cp_in = pltpu.make_async_copy(fg_hbm.at[ui], fg_buf, sem_in)
+        cp_in.start()
+        cp_in.wait()
+        m = fg_buf[:, :].astype(jnp.int32) > 0
+
+        yy = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+        border = (yy == 0) | (yy == hp - 1) | (xx == 0) | (xx == wp - 1)
+        ext = _local_fixpoint(~m, border & ~m, conn8=False) > 0
+        fill = ~ext
+
+        # min-index labels in PADDED coordinates (lin = yy*wp + xx): only
+        # intra-kernel consistency matters — the painted mask is coordinate-
+        # convention-free
+        lab = _label_fixpoint(fill, hp, wp, k_pow, "rc")
+        lin = yy * wp + xx
+        roots = m & (lab == lin)
+        top = _local_fixpoint(m, roots, conn8=True) > 0
+
+        state = jnp.where(top, jnp.int32(2), ext.astype(jnp.int32))
+        s00 = _shift2d(state, -1, -1, np.int32(1))
+        s01 = _shift2d(state, -1, 0, np.int32(1))
+        s10 = _shift2d(state, 0, -1, np.int32(1))
+        cfg = s00 + 3 * s01 + 9 * s10 + 27 * state
+
+        def coef(col):
+            out = jnp.zeros((hp, wp), dtype=jnp.int32)
+            for c in np.nonzero(tbl[:, col] == 1)[0]:
+                out = out + (cfg == int(c)).astype(jnp.int32)
+            for c in np.nonzero(tbl[:, col] == -1)[0]:
+                out = out - (cfg == int(c)).astype(jnp.int32)
+            return out
+
+        contrib = coef(0) + coef(1) * xx + coef(2) * yy
+
+        labt = jnp.where(top, lab, jnp.int32(-1))
+        attr = jnp.maximum(
+            jnp.maximum(
+                _shift2d(labt, -1, -1, np.int32(-1)),
+                _shift2d(labt, -1, 0, np.int32(-1)),
+            ),
+            jnp.maximum(_shift2d(labt, 0, -1, np.int32(-1)), labt),
+        )
+
+        rootf = jnp.where(roots, lin, _BIG)
+        max_x2 = max_hbm[pl.ds(ui, 1), :, :].max()
+
+        def next_root(r):
+            return jnp.where(rootf > r, rootf, _BIG).min()
+
+        def cond(c):
+            return c[0] < _BIG
+
+        def body(c):
+            nxt, out = c
+            s = _sum_i32(jnp.where(attr == nxt, contrib, jnp.int32(0)))
+            a2 = jnp.abs(s)
+            keep = (a2 >= jnp.int32(min_x2)) & (a2 <= max_x2)
+            out = jnp.where(keep & (lab == nxt), jnp.int32(1), out)
+            return next_root(nxt), out
+
+        _, out = jax.lax.while_loop(
+            cond,
+            body,
+            (next_root(jnp.int32(-1)), jnp.zeros((hp, wp), jnp.int32)),
+        )
+        out_buf[:, :] = out.astype(jnp.uint8)
+        cp_out = pltpu.make_async_copy(out_buf, out_hbm.at[ui], sem_out)
+        cp_out.start()
+        cp_out.wait()
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(u), unit_body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("min_x2",))
+def blob_filter_pallas(
+    fg: jnp.ndarray, max_x2: jnp.ndarray, *, min_x2: int
+) -> jnp.ndarray:
+    """fg [U,H,W] bool candidate mask, max_x2 [U] i32 -> kept filled mask
+    [U,H,W] bool (filter_and_select semantics, one fused kernel)."""
+    u, h, w = fg.shape
+    # vertex rows/cols reach h and w: pad past them (padding = background,
+    # which the border flood marks exterior — matching the logical-plane
+    # construction in ops.contour)
+    hp = -(-(h + 1) // 8) * 8
+    wp = -(-(w + 1) // 128) * 128
+    k_pow = max(2, int(np.ceil(np.log2(hp * wp + 2))))
+    assert (max(hp, wp) + 1) * (1 << k_pow) < 2**31
+    fg_p = jnp.pad(fg.astype(jnp.uint8), ((0, 0), (0, hp - h), (0, wp - w)))
+    max_b = jnp.broadcast_to(
+        max_x2.astype(jnp.int32)[:, None, None], (u, 8, 128)
+    )
+    kernel = functools.partial(
+        _blob_filter_kernel, u=u, h=h, w=w, k_pow=k_pow, min_x2=int(min_x2)
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((u, hp, wp), jnp.uint8),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.uint8),
+            pltpu.VMEM((hp, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(max_b, fg_p)
+    return out[:, :h, :w] > 0
+
+
+def blob_filter_fits(shape) -> bool:
+    """Gate for blob_filter_pallas: the padded-plane i32 keys must fit and
+    the per-unit working set (several i32 planes during the fixpoints) must
+    stay within VMEM."""
+    _, h, w = shape
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    hp = -(-(h + 1) // 8) * 8
+    wp = -(-(w + 1) // 128) * 128
+    k_pow = max(2, int(np.ceil(np.log2(hp * wp + 2))))
+    return (
+        on_tpu
+        and (max(hp, wp) + 1) * (1 << k_pow) < 2**31
+        and 12 * hp * wp * 4 < 12 * 2**20
+    )

@@ -196,13 +196,27 @@ def filter_and_select(
 
     u, h, w = fg.shape
     hw = h * w
+
+    from tpu_inspect.ops.blob_pallas import (
+        blob_filter_fits,
+        blob_filter_pallas,
+        blob_select_fits,
+        blob_select_pallas,
+    )
+
+    if blob_filter_fits(fg.shape) and isinstance(min_area_x2, int):
+        # TPU: the WHOLE stage (exterior flood, fill labeling, top-blob
+        # reachability, Green's filter + paint) as one per-unit VMEM kernel
+        out = blob_filter_pallas(
+            fg, jnp.asarray(max_area_x2, dtype=jnp.int32), min_x2=min_area_x2
+        )
+        return out, out.any(axis=(1, 2))
+
     ext = exterior_background(fg)
     fill = ~ext
     fill_labels = cc.label_components(fill, plan="rc")
     fg_labels = cc.label_components(fg, plan="rc")
     top = fg & (fg_labels == fill_labels)
-
-    from tpu_inspect.ops.blob_pallas import blob_select_fits, blob_select_pallas
 
     if blob_select_fits(fg.shape) and isinstance(min_area_x2, int):
         # TPU: sequential-over-blobs VMEM reduction — no sorts, no final
