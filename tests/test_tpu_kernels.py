@@ -147,6 +147,57 @@ def test_pallas_fused_label_stats_parity():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_pallas_seg_tail_parity():
+    """Fused morph+holefill+stats tail kernel vs the split ops on TPU."""
+    import jax.numpy as jnp
+
+    from tpu_inspect.config import SegmentationParams
+    from tpu_inspect.engine import _blur_threshold, _morph_k, raw_segment
+    from tpu_inspect.ops import cc
+    from tpu_inspect.ops.fused_pallas import seg_tail_pallas, tail_fits
+    from tpu_inspect.ops.morph_pallas import _close_open_stages
+    from tpu_inspect.synthetic import random_blob_mask
+
+    rng = np.random.RandomState(5)
+    crops = rng.randint(0, 256, (6, 120, 130), dtype=np.uint8)
+    seg = SegmentationParams().validated()
+    assert tail_fits(crops.shape)
+    x = jnp.asarray(crops)
+    mask0 = _blur_threshold(x, seg)
+    out, area, sx, sy, has = seg_tail_pallas(
+        mask0, stages=_close_open_stages(_morph_k(seg)), fill=True
+    )
+    ref_mask = raw_segment(x, seg)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_mask))
+    _, a2, sx2, sy2, h2 = cc.largest_component_sums(ref_mask > 0)
+    np.testing.assert_array_equal(np.asarray(area), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(sx), np.asarray(sx2))
+    np.testing.assert_array_equal(np.asarray(sy), np.asarray(sy2))
+    np.testing.assert_array_equal(np.asarray(has), np.asarray(h2))
+
+    # ROI form: erode + largest component
+    masks = np.stack(
+        [random_blob_mask(120, 130, seed=s, n_blobs=3) for s in range(6)]
+    )
+    for n in (0, 1, 6):
+        stages = (
+            (("erode", tuple((dy, -n, n) for dy in range(-n, n + 1))),)
+            if n
+            else ()
+        )
+        roi_u8, _, _, _, hasf = seg_tail_pallas(
+            jnp.asarray(masks), stages=stages, fill=False, out_largest=True
+        )
+        from tpu_inspect.ops import morphology
+
+        sb = jnp.asarray(masks)
+        if n:
+            sb = morphology.erode_rect3(sb, n)
+        ref_roi, _, _, ref_has = cc.largest_component(sb > 0)
+        np.testing.assert_array_equal(np.asarray(roi_u8) > 0, np.asarray(ref_roi))
+        np.testing.assert_array_equal(np.asarray(hasf), np.asarray(ref_has))
+
+
 def test_pallas_blob_select_parity():
     """Blob filter kernel vs the XLA sort-based path (forced by passing a
     traced min_area) across min/max sweeps."""

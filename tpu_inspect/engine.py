@@ -160,8 +160,8 @@ def exclusion_zone(
     return zone
 
 
-def raw_segment(crops: jnp.ndarray, seg: SegmentationParams) -> jnp.ndarray:
-    """Pre-exclusion segmentation chain (segment_cell parity, segmentation.py:75-100)."""
+def _blur_threshold(crops: jnp.ndarray, seg: SegmentationParams) -> jnp.ndarray:
+    """Blur + threshold head of segment_cell (segmentation.py:78-89)."""
     x = crops
     if seg.gaussian_blur and seg.gaussian_blur > 0:
         with jax.named_scope("gauss"):
@@ -169,17 +169,28 @@ def raw_segment(crops: jnp.ndarray, seg: SegmentationParams) -> jnp.ndarray:
     with jax.named_scope("thresh"):
         if seg.method == "adaptive":
             bs = max(3, int(seg.adapt_block) | 1)
-            mask = threshold.adaptive_threshold_inv(x, bs, int(seg.adapt_C))
-        else:
-            mask = threshold.otsu_binary_inv(x)
-    if seg.morph_kernel and seg.morph_kernel > 0:
+            return threshold.adaptive_threshold_inv(x, bs, int(seg.adapt_C))
+        return threshold.otsu_binary_inv(x)
+
+
+def _morph_k(seg: SegmentationParams) -> int:
+    """Effective morph kernel size (0/1 disables, segmentation.py:91-93)."""
+    if not (seg.morph_kernel and seg.morph_kernel > 0):
+        return 1
+    return max(1, int(seg.morph_kernel))
+
+
+def raw_segment(crops: jnp.ndarray, seg: SegmentationParams) -> jnp.ndarray:
+    """Pre-exclusion segmentation chain (segment_cell parity, segmentation.py:75-100)."""
+    mask = _blur_threshold(crops, seg)
+    k = _morph_k(seg)
+    if k > 1:
         with jax.named_scope("morph"):
             from tpu_inspect.ops.morph_pallas import close_open_pallas, morph_fits
 
-            k = max(1, int(seg.morph_kernel))
-            if k > 1 and morph_fits(x.shape):
+            if morph_fits(mask.shape):
                 mask = close_open_pallas(mask, k)
-            elif k > 1:
+            else:
                 se = morphology.ellipse_se(k)
                 mask = morphology.morph_close(mask, se)
                 mask = morphology.morph_open(mask, se)
@@ -201,10 +212,26 @@ def _segment_device(
     is_reference: bool,
     shape_hw: tuple[int, int],
 ):
-    mask = raw_segment(crops, seg)
-    pre_excl = mask > 0
-    with jax.named_scope("seg_centroid"):
-        _, area, sx, sy, has_fg = cc.largest_component_sums(pre_excl)
+    from tpu_inspect.ops.fused_pallas import seg_tail_pallas, tail_fits
+
+    if tail_fits(crops.shape):
+        # TPU: morphology + hole fill + alignment-centroid stats fused into
+        # one per-unit VMEM kernel (the split path round-trips HBM between
+        # every stage)
+        mask0 = _blur_threshold(crops, seg)
+        k = _morph_k(seg)
+        from tpu_inspect.ops.morph_pallas import _close_open_stages
+
+        stages = _close_open_stages(k) if k > 1 else ()
+        with jax.named_scope("seg_tail"):
+            mask, area, sx, sy, has_fg = seg_tail_pallas(
+                mask0, stages=stages, fill=True, out_largest=False
+            )
+    else:
+        mask = raw_segment(crops, seg)
+        pre_excl = mask > 0
+        with jax.named_scope("seg_centroid"):
+            _, area, sx, sy, has_fg = cc.largest_component_sums(pre_excl)
 
     u = crops.shape[0]
     if is_reference:
@@ -305,6 +332,21 @@ def defect_roi(seg_masks: jnp.ndarray, erode_px: int):
     """ROI prep (indexing_ui.py:1480-1516): binarize seg mask, erode
     ``erode_px`` iterations of 3x3 rect, keep the largest 8-connected
     component (holes preserved). Returns (roi [U,H,W] bool, roi_empty [U])."""
+    from tpu_inspect.ops.fused_pallas import seg_tail_pallas, tail_fits
+
+    if tail_fits(seg_masks.shape):
+        # TPU: (2n+1)^2 erode + largest-component selection in one kernel
+        n = int(erode_px)
+        stages = (
+            (("erode", tuple((dy, -n, n) for dy in range(-n, n + 1))),)
+            if n > 0
+            else ()
+        )
+        roi_u8, _, _, _, has_fg = seg_tail_pallas(
+            seg_masks, stages=stages, fill=False, out_largest=True
+        )
+        return roi_u8 > 0, ~has_fg
+
     seg_bin = seg_masks > 0
     if erode_px > 0:
         from tpu_inspect.ops.morph_pallas import erode_rect_pallas, morph_fits
