@@ -409,19 +409,12 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
                 bg = median.median_blur_u8(crops, k)
             resid = jnp.abs(crops.astype(jnp.int32) - bg.astype(jnp.int32))
             cand = threshold.threshold_binary(resid, thr)
-        cand = jnp.where(roi, cand, jnp.uint8(0))
-        with jax.named_scope("cand_open"):
-            from tpu_inspect.ops.morph_pallas import morph_fits, open_pallas
-
-            if morph_fits(cand.shape):
-                cand = open_pallas(cand, 3)
-            else:
-                cand = morphology.morph_open(cand, morphology.ellipse_se(3))
+        needs_open = True
     else:
         from tpu_inspect.ops import canny as canny_op
 
-        edges = canny_op.canny_u8(crops, max(1, thr // 2), max(2, thr))
-        cand = jnp.where(roi, edges, jnp.uint8(0))
+        cand = canny_op.canny_u8(crops, max(1, thr // 2), max(2, thr))
+        needs_open = False
 
     # area filter (indexing_ui.py:1542-1558): Python int() truncation of
     # roi_area * 0.98 computed in double; comparisons run on exact 2x-areas
@@ -433,10 +426,38 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
             roi_area.astype(jnp.float64) * jnp.float64(params.max_area_frac)
         ).astype(jnp.int32),
     )
+    from tpu_inspect.ops.blob_pallas import blob_filter_fits, blob_filter_pallas
+
     with jax.named_scope("blob_filter"):
-        out, found = contour.filter_and_select(
-            cand > 0, 2 * min_area, 2 * max_area
-        )
+        if blob_filter_fits(crops.shape):
+            # TPU: ROI AND + 3x3 open + the whole contour filter in one
+            # per-unit VMEM kernel (indexing_ui.py:1528-1558)
+            out = blob_filter_pallas(
+                cand,
+                2 * max_area,
+                min_x2=2 * min_area,
+                roi=roi,
+                pre_open=needs_open,
+            )
+            found = out.any(axis=(1, 2))
+        else:
+            cand = jnp.where(roi, cand, jnp.uint8(0))
+            if needs_open:
+                with jax.named_scope("cand_open"):
+                    from tpu_inspect.ops.morph_pallas import (
+                        morph_fits,
+                        open_pallas,
+                    )
+
+                    if morph_fits(cand.shape):
+                        cand = open_pallas(cand, 3)
+                    else:
+                        cand = morphology.morph_open(
+                            cand, morphology.ellipse_se(3)
+                        )
+            out, found = contour.filter_and_select(
+                cand > 0, 2 * min_area, 2 * max_area
+            )
     found = found & ~roi_empty
     out = jnp.where(found[:, None, None], out, False)
     area = out.sum(axis=(1, 2), dtype=jnp.int32)

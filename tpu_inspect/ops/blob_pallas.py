@@ -194,13 +194,16 @@ def blob_select_fits(shape) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _blob_filter_kernel(
+def _blob_body(
     max_hbm,
     fg_hbm,
+    roi_hbm,
     out_hbm,
     fg_buf,
+    roi_buf,
     out_buf,
     sem_in,
+    sem_roi,
     sem_out,
     *,
     u: int,
@@ -208,6 +211,7 @@ def _blob_filter_kernel(
     w: int,
     k_pow: int,
     min_x2: int,
+    open_stages,
 ):
     """The whole filter_and_select device stage per unit, VMEM-resident:
 
@@ -230,14 +234,41 @@ def _blob_filter_kernel(
     hp, wp = fg_buf.shape
     tbl = np.asarray(CONTOUR_TABLE_X2)
 
+    from tpu_inspect.ops.morph_pallas import _apply_stage
+
     def unit_body(ui, carry):
         cp_in = pltpu.make_async_copy(fg_hbm.at[ui], fg_buf, sem_in)
         cp_in.start()
+        cp_roi = None
+        if roi_hbm is not None:
+            cp_roi = pltpu.make_async_copy(roi_hbm.at[ui], roi_buf, sem_roi)
+            cp_roi.start()
         cp_in.wait()
-        m = fg_buf[:, :].astype(jnp.int32) > 0
 
         yy = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
         xx = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+        pad_zone = (yy >= h) | (xx >= w)
+
+        v = fg_buf[:, :].astype(jnp.int32)
+        if roi_hbm is not None:
+            # candidate & ROI (indexing_ui.py:1528-1529); rows the
+            # row-bounded median kernel left unwritten are outside the ROI
+            # by construction, so the AND also launders them
+            cp_roi.wait()
+            roi_i = roi_buf[:, :].astype(jnp.int32)
+            v = jnp.where(roi_i > 0, v, jnp.int32(0))
+        for op, runs in open_stages:
+            # OpenCV clip-to-image border: out-of-LOGICAL-image is the op's
+            # neutral, so preset the padding region before each stage and
+            # scrub it after (the flood below needs padding = background)
+            red = jnp.minimum if op == "erode" else jnp.maximum
+            fl = np.int32(255) if op == "erode" else np.int32(0)
+            v = jnp.where(pad_zone, fl, v)
+            v = _apply_stage(v, op, runs, red, fl)
+        if open_stages:
+            v = jnp.where(pad_zone, jnp.int32(0), v)
+        m = v > 0
+
         border = (yy == 0) | (yy == hp - 1) | (xx == 0) | (xx == wp - 1)
         ext = _local_fixpoint(~m, border & ~m, conn8=False) > 0
         fill = ~ext
@@ -306,12 +337,42 @@ def _blob_filter_kernel(
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(u), unit_body, jnp.int32(0))
 
 
-@functools.partial(jax.jit, static_argnames=("min_x2",))
+def _blob_filter_kernel(
+    max_hbm, fg_hbm, out_hbm, fg_buf, out_buf, sem_in, sem_out, **static
+):
+    """No-ROI entry: same body, dummy roi refs."""
+    _blob_body(
+        max_hbm, fg_hbm, None, out_hbm, fg_buf, None, out_buf,
+        sem_in, None, sem_out, **static,
+    )
+
+
+def _blob_filter_roi_kernel(
+    max_hbm, fg_hbm, roi_hbm, out_hbm, fg_buf, roi_buf, out_buf,
+    sem_in, sem_roi, sem_out, **static
+):
+    _blob_body(
+        max_hbm, fg_hbm, roi_hbm, out_hbm, fg_buf, roi_buf, out_buf,
+        sem_in, sem_roi, sem_out, **static,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("min_x2", "pre_open"))
 def blob_filter_pallas(
-    fg: jnp.ndarray, max_x2: jnp.ndarray, *, min_x2: int
+    fg: jnp.ndarray,
+    max_x2: jnp.ndarray,
+    *,
+    min_x2: int,
+    roi: jnp.ndarray | None = None,
+    pre_open: bool = False,
 ) -> jnp.ndarray:
-    """fg [U,H,W] bool candidate mask, max_x2 [U] i32 -> kept filled mask
-    [U,H,W] bool (filter_and_select semantics, one fused kernel)."""
+    """fg [U,H,W] uint8/bool candidate mask, max_x2 [U] i32 -> kept filled
+    mask [U,H,W] bool (filter_and_select semantics, one fused kernel).
+
+    Optional head stages folded into the same kernel (the defect path,
+    indexing_ui.py:1528-1532): ``roi`` ANDs the candidate with the ROI
+    plane, ``pre_open`` applies the 3x3-ellipse open before the filter.
+    """
     u, h, w = fg.shape
     # vertex rows/cols reach h and w: pad past them (padding = background,
     # which the border flood marks exterior — matching the logical-plane
@@ -324,24 +385,54 @@ def blob_filter_pallas(
     max_b = jnp.broadcast_to(
         max_x2.astype(jnp.int32)[:, None, None], (u, 8, 128)
     )
-    kernel = functools.partial(
-        _blob_filter_kernel, u=u, h=h, w=w, k_pow=k_pow, min_x2=int(min_x2)
+    if pre_open:
+        from tpu_inspect.ops.morph_pallas import _open_stages
+
+        open_stages = _open_stages(3)
+    else:
+        open_stages = ()
+    static = dict(
+        u=u, h=h, w=w, k_pow=k_pow, min_x2=int(min_x2),
+        open_stages=open_stages,
     )
+    if roi is None:
+        kernel = functools.partial(_blob_filter_kernel, **static)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((u, hp, wp), jnp.uint8),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((hp, wp), jnp.uint8),
+                pltpu.VMEM((hp, wp), jnp.uint8),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(max_b, fg_p)
+        return out[:, :h, :w] > 0
+    roi_p = jnp.pad(roi.astype(jnp.uint8), ((0, 0), (0, hp - h), (0, wp - w)))
+    kernel = functools.partial(_blob_filter_roi_kernel, **static)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((u, hp, wp), jnp.uint8),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((hp, wp), jnp.uint8),
             pltpu.VMEM((hp, wp), jnp.uint8),
+            pltpu.VMEM((hp, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
-    )(max_b, fg_p)
+    )(max_b, fg_p, roi_p)
     return out[:, :h, :w] > 0
 
 
