@@ -215,17 +215,25 @@ def _segment_device(
     from tpu_inspect.ops.fused_pallas import seg_tail_pallas, tail_fits
 
     if tail_fits(crops.shape):
-        # TPU: morphology + hole fill + alignment-centroid stats fused into
-        # one per-unit VMEM kernel (the split path round-trips HBM between
-        # every stage)
-        mask0 = _blur_threshold(crops, seg)
-        k = _morph_k(seg)
+        # TPU: threshold compare + morphology + hole fill + alignment-
+        # centroid stats fused into one per-unit VMEM kernel (the split
+        # path round-trips HBM between every stage)
         from tpu_inspect.ops.morph_pallas import _close_open_stages
 
+        k = _morph_k(seg)
         stages = _close_open_stages(k) if k > 1 else ()
+        if seg.method == "adaptive":
+            mask0, thr_v = _blur_threshold(crops, seg), None
+        else:
+            x = crops
+            if seg.gaussian_blur and seg.gaussian_blur > 0:
+                with jax.named_scope("gauss"):
+                    x = gaussian_blur_u8(x, as_odd(seg.gaussian_blur))
+            with jax.named_scope("otsu"):
+                mask0, thr_v = x, threshold.otsu_threshold(x)
         with jax.named_scope("seg_tail"):
             mask, area, sx, sy, has_fg = seg_tail_pallas(
-                mask0, stages=stages, fill=True, out_largest=False
+                mask0, stages=stages, fill=True, out_largest=False, thr=thr_v
             )
     else:
         mask = raw_segment(crops, seg)

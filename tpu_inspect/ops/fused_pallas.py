@@ -35,8 +35,9 @@ from tpu_inspect.ops.flood_pallas import _local_fixpoint
 from tpu_inspect.ops.morph_pallas import _apply_stage
 
 
-def _tail_kernel(
+def _tail_body(
     x_ref,
+    thr_ref,
     mask_out,
     stats_out,
     buf,
@@ -55,9 +56,16 @@ def _tail_kernel(
 
     def unit_body(ui, carry):
         raw = x_ref[pl.ds(ui, 1), :, :].reshape(h, w).astype(jnp.int32)
-        # binarize (any >0 is fg) to the 0/255 domain the morphology
-        # min/max chain assumes (indexing_ui.py:1489 binarizes before erode)
-        v = jnp.where(raw > 0, jnp.int32(255), jnp.int32(0))
+        if thr_ref is not None:
+            # fused THRESH_BINARY_INV: input is the blurred gray plane and
+            # thr the per-unit Otsu threshold (segmentation.py:81-82) — the
+            # mask plane never materializes in HBM
+            t = thr_ref[ui]
+            v = jnp.where(raw <= t, jnp.int32(255), jnp.int32(0))
+        else:
+            # binarize (any >0 is fg) to the 0/255 domain the morphology
+            # min/max chain assumes (indexing_ui.py:1489 binarizes first)
+            v = jnp.where(raw > 0, jnp.int32(255), jnp.int32(0))
         for op, runs in stages:
             red = jnp.minimum if op == "erode" else jnp.maximum
             fl = np.int32(255) if op == "erode" else np.int32(0)
@@ -103,6 +111,14 @@ def _tail_kernel(
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(u), unit_body, jnp.int32(0))
 
 
+def _tail_kernel(x_ref, mask_out, stats_out, buf, sem_out, **static):
+    _tail_body(x_ref, None, mask_out, stats_out, buf, sem_out, **static)
+
+
+def _tail_thr_kernel(x_ref, thr_ref, mask_out, stats_out, buf, sem_out, **st):
+    _tail_body(x_ref, thr_ref, mask_out, stats_out, buf, sem_out, **st)
+
+
 @functools.partial(
     jax.jit, static_argnames=("stages", "fill", "out_largest", "plan")
 )
@@ -112,6 +128,7 @@ def seg_tail_pallas(
     fill: bool = False,
     out_largest: bool = False,
     plan: str = "crc",
+    thr: jnp.ndarray | None = None,
 ):
     """mask [U,H,W] uint8 (any >0 = fg) -> (out_mask [U,H,W] uint8 0/255,
     area [U] i32, sx [U] i32, sy [U] i32, has_fg [U] bool).
@@ -120,6 +137,8 @@ def seg_tail_pallas(
     optional border-flood hole filling, then largest-8-connected-component
     stats, all per unit in VMEM. ``out_mask`` is the processed plane, or the
     largest component itself with ``out_largest`` (the defect-ROI form).
+    With ``thr`` ([U] int32), the input is instead the blurred gray plane
+    and the fg mask is the in-kernel THRESH_BINARY_INV ``x <= thr``.
     """
     u, h, w = mask.shape
     hw = h * w
@@ -127,8 +146,7 @@ def seg_tail_pallas(
     assert (max(h, w) + 1) * (1 << k_pow) < 2**31, "unit too large for i32 keys"
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
-    kernel = functools.partial(
-        _tail_kernel,
+    static = dict(
         u=u,
         h=h,
         w=w,
@@ -138,22 +156,34 @@ def seg_tail_pallas(
         out_largest=bool(out_largest),
         plan=plan,
     )
-    out, stats = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((u, hp, wp), jnp.uint8),
-            jax.ShapeDtypeStruct((u, 8, 128), jnp.int32),
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((hp, wp), jnp.uint8),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(mask)
+    out_shape = (
+        jax.ShapeDtypeStruct((u, hp, wp), jnp.uint8),
+        jax.ShapeDtypeStruct((u, 8, 128), jnp.int32),
+    )
+    out_specs = (
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    scratch = [pltpu.VMEM((hp, wp), jnp.uint8), pltpu.SemaphoreType.DMA]
+    if thr is None:
+        out, stats = pl.pallas_call(
+            functools.partial(_tail_kernel, **static),
+            out_shape=out_shape,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        )(mask)
+    else:
+        out, stats = pl.pallas_call(
+            functools.partial(_tail_thr_kernel, **static),
+            out_shape=out_shape,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        )(mask, thr.astype(jnp.int32))
     return (
         out[:, :h, :w],
         stats[:, 0, 0],
