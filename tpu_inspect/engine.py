@@ -439,15 +439,19 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
     with jax.named_scope("blob_filter"):
         if blob_filter_fits(crops.shape):
             # TPU: ROI AND + 3x3 open + the whole contour filter in one
-            # per-unit VMEM kernel (indexing_ui.py:1528-1558)
-            out = blob_filter_pallas(
+            # per-unit VMEM kernel, emitting the final 0/255 mask and the
+            # per-unit pixel area directly (indexing_ui.py:1528-1558,
+            # :1691-1700) — no XLA masking/sum passes downstream
+            out_u8, area = blob_filter_pallas(
                 cand,
                 2 * max_area,
                 min_x2=2 * min_area,
                 roi=roi,
                 pre_open=needs_open,
             )
-            found = out.any(axis=(1, 2))
+            found = area > jnp.int32(0)
+            verdict = found & (area >= jnp.int32(min_area))
+            return out_u8, found, area, verdict
         else:
             cand = jnp.where(roi, cand, jnp.uint8(0))
             if needs_open:

@@ -199,6 +199,7 @@ def _blob_body(
     fg_hbm,
     roi_hbm,
     out_hbm,
+    area_out,
     fg_buf,
     roi_buf,
     out_buf,
@@ -328,7 +329,15 @@ def _blob_body(
             body,
             (next_root(jnp.int32(-1)), jnp.zeros((hp, wp), jnp.int32)),
         )
-        out_buf[:, :] = out.astype(jnp.uint8)
+        # per-unit pixel area of the kept mask (the verdict input,
+        # indexing_ui.py:1691-1700) — saves the XLA [U,H,W] sum + masking
+        # passes downstream
+        area = _sum_i32(out)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+        area_out[pl.ds(ui, 1), :, :] = jnp.where(
+            lane == 0, area, jnp.zeros((1, 8, 128), jnp.int32)
+        )
+        out_buf[:, :] = (out * 255).astype(jnp.uint8)
         cp_out = pltpu.make_async_copy(out_buf, out_hbm.at[ui], sem_out)
         cp_out.start()
         cp_out.wait()
@@ -338,22 +347,23 @@ def _blob_body(
 
 
 def _blob_filter_kernel(
-    max_hbm, fg_hbm, out_hbm, fg_buf, out_buf, sem_in, sem_out, **static
+    max_hbm, fg_hbm, out_hbm, area_out, fg_buf, out_buf, sem_in, sem_out,
+    **static
 ):
     """No-ROI entry: same body, dummy roi refs."""
     _blob_body(
-        max_hbm, fg_hbm, None, out_hbm, fg_buf, None, out_buf,
+        max_hbm, fg_hbm, None, out_hbm, area_out, fg_buf, None, out_buf,
         sem_in, None, sem_out, **static,
     )
 
 
 def _blob_filter_roi_kernel(
-    max_hbm, fg_hbm, roi_hbm, out_hbm, fg_buf, roi_buf, out_buf,
+    max_hbm, fg_hbm, roi_hbm, out_hbm, area_out, fg_buf, roi_buf, out_buf,
     sem_in, sem_roi, sem_out, **static
 ):
     _blob_body(
-        max_hbm, fg_hbm, roi_hbm, out_hbm, fg_buf, roi_buf, out_buf,
-        sem_in, sem_roi, sem_out, **static,
+        max_hbm, fg_hbm, roi_hbm, out_hbm, area_out, fg_buf, roi_buf,
+        out_buf, sem_in, sem_roi, sem_out, **static,
     )
 
 
@@ -366,8 +376,9 @@ def blob_filter_pallas(
     roi: jnp.ndarray | None = None,
     pre_open: bool = False,
 ) -> jnp.ndarray:
-    """fg [U,H,W] uint8/bool candidate mask, max_x2 [U] i32 -> kept filled
-    mask [U,H,W] bool (filter_and_select semantics, one fused kernel).
+    """fg [U,H,W] uint8/bool candidate mask, max_x2 [U] i32 ->
+    (kept filled mask [U,H,W] uint8 0/255, pixel area [U] i32)
+    (filter_and_select semantics, one fused kernel).
 
     Optional head stages folded into the same kernel (the defect path,
     indexing_ui.py:1528-1532): ``roi`` ANDs the candidate with the ROI
@@ -395,16 +406,24 @@ def blob_filter_pallas(
         u=u, h=h, w=w, k_pow=k_pow, min_x2=int(min_x2),
         open_stages=open_stages,
     )
+    out_shape = (
+        jax.ShapeDtypeStruct((u, hp, wp), jnp.uint8),
+        jax.ShapeDtypeStruct((u, 8, 128), jnp.int32),
+    )
+    out_specs = (
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
     if roi is None:
         kernel = functools.partial(_blob_filter_kernel, **static)
-        out = pl.pallas_call(
+        out, area = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((u, hp, wp), jnp.uint8),
+            out_shape=out_shape,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((hp, wp), jnp.uint8),
                 pltpu.VMEM((hp, wp), jnp.uint8),
@@ -412,18 +431,18 @@ def blob_filter_pallas(
                 pltpu.SemaphoreType.DMA,
             ],
         )(max_b, fg_p)
-        return out[:, :h, :w] > 0
+        return out[:, :h, :w], area[:, 0, 0]
     roi_p = jnp.pad(roi.astype(jnp.uint8), ((0, 0), (0, hp - h), (0, wp - w)))
     kernel = functools.partial(_blob_filter_roi_kernel, **static)
-    out = pl.pallas_call(
+    out, area = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((u, hp, wp), jnp.uint8),
+        out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((hp, wp), jnp.uint8),
             pltpu.VMEM((hp, wp), jnp.uint8),
@@ -433,7 +452,7 @@ def blob_filter_pallas(
             pltpu.SemaphoreType.DMA,
         ],
     )(max_b, fg_p, roi_p)
-    return out[:, :h, :w] > 0
+    return out[:, :h, :w], area[:, 0, 0]
 
 
 def blob_filter_fits(shape) -> bool:

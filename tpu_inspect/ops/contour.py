@@ -207,10 +207,10 @@ def filter_and_select(
     if blob_filter_fits(fg.shape) and isinstance(min_area_x2, int):
         # TPU: the WHOLE stage (exterior flood, fill labeling, top-blob
         # reachability, Green's filter + paint) as one per-unit VMEM kernel
-        out = blob_filter_pallas(
+        out, area = blob_filter_pallas(
             fg, jnp.asarray(max_area_x2, dtype=jnp.int32), min_x2=min_area_x2
         )
-        return out, out.any(axis=(1, 2))
+        return out > 0, area > 0
 
     ext = exterior_background(fg)
     fill = ~ext
