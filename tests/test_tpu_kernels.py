@@ -164,7 +164,7 @@ def test_pallas_seg_tail_parity():
     assert tail_fits(crops.shape)
     x = jnp.asarray(crops)
     mask0 = _blur_threshold(x, seg)
-    out, area, sx, sy, has = seg_tail_pallas(
+    out, area, sx, sy, has, _, _ = seg_tail_pallas(
         mask0, stages=_close_open_stages(_morph_k(seg)), fill=True
     )
     ref_mask = raw_segment(x, seg)
@@ -185,7 +185,7 @@ def test_pallas_seg_tail_parity():
             if n
             else ()
         )
-        roi_u8, _, _, _, hasf = seg_tail_pallas(
+        roi_u8, _, _, _, hasf, row_lo, row_hi = seg_tail_pallas(
             jnp.asarray(masks), stages=stages, fill=False, out_largest=True
         )
         from tpu_inspect.ops import morphology
@@ -196,6 +196,13 @@ def test_pallas_seg_tail_parity():
         ref_roi, _, _, ref_has = cc.largest_component(sb > 0)
         np.testing.assert_array_equal(np.asarray(roi_u8) > 0, np.asarray(ref_roi))
         np.testing.assert_array_equal(np.asarray(hasf), np.asarray(ref_has))
+        rr = np.asarray(ref_roi)
+        for i in range(rr.shape[0]):
+            ys = np.nonzero(rr[i].any(axis=1))[0]
+            lo = ys.min() if len(ys) else rr.shape[1]
+            hi = ys.max() + 1 if len(ys) else 0
+            assert int(np.asarray(row_lo)[i]) == lo
+            assert int(np.asarray(row_hi)[i]) == hi
 
 
 def test_pallas_blob_select_parity():

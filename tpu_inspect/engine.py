@@ -232,7 +232,7 @@ def _segment_device(
             with jax.named_scope("otsu"):
                 mask0, thr_v = x, threshold.otsu_threshold(x)
         with jax.named_scope("seg_tail"):
-            mask, area, sx, sy, has_fg = seg_tail_pallas(
+            mask, area, sx, sy, has_fg, _, _ = seg_tail_pallas(
                 mask0, stages=stages, fill=True, out_largest=False, thr=thr_v
             )
     else:
@@ -340,6 +340,14 @@ def defect_roi(seg_masks: jnp.ndarray, erode_px: int):
     """ROI prep (indexing_ui.py:1480-1516): binarize seg mask, erode
     ``erode_px`` iterations of 3x3 rect, keep the largest 8-connected
     component (holes preserved). Returns (roi [U,H,W] bool, roi_empty [U])."""
+    roi, roi_empty, _, _, _ = _defect_roi_full(seg_masks, erode_px)
+    return roi, roi_empty
+
+
+def _defect_roi_full(seg_masks: jnp.ndarray, erode_px: int):
+    """defect_roi plus the derived per-unit scalars the defect pass needs:
+    (roi, roi_empty, roi_area [U] i32, row_lo [U] i32, row_hi [U] i32).
+    The fused kernel emits them for free; fallbacks reduce in XLA."""
     from tpu_inspect.ops.fused_pallas import seg_tail_pallas, tail_fits
 
     if tail_fits(seg_masks.shape):
@@ -350,11 +358,29 @@ def defect_roi(seg_masks: jnp.ndarray, erode_px: int):
             if n > 0
             else ()
         )
-        roi_u8, _, _, _, has_fg = seg_tail_pallas(
+        roi_u8, area, _, _, has_fg, row_lo, row_hi = seg_tail_pallas(
             seg_masks, stages=stages, fill=False, out_largest=True
         )
-        return roi_u8 > 0, ~has_fg
+        return roi_u8 > 0, ~has_fg, area, row_lo, row_hi
 
+    roi, roi_empty = _defect_roi_fallback(seg_masks, erode_px)
+    h = seg_masks.shape[1]
+    roi_area = roi.sum(axis=(1, 2), dtype=jnp.int32)
+    rows_any = roi.any(axis=2)
+    row_lo = jnp.where(
+        rows_any.any(axis=1),
+        jnp.argmax(rows_any, axis=1).astype(jnp.int32),
+        jnp.int32(h),
+    )
+    row_hi = jnp.where(
+        rows_any.any(axis=1),
+        jnp.int32(h) - jnp.argmax(rows_any[:, ::-1], axis=1).astype(jnp.int32),
+        jnp.int32(0),
+    )
+    return roi, roi_empty, roi_area, row_lo, row_hi
+
+
+def _defect_roi_fallback(seg_masks: jnp.ndarray, erode_px: int):
     seg_bin = seg_masks > 0
     if erode_px > 0:
         from tpu_inspect.ops.morph_pallas import erode_rect_pallas, morph_fits
@@ -373,7 +399,9 @@ def defect_roi(seg_masks: jnp.ndarray, erode_px: int):
 def _defect_device(crops, seg_masks, *, params: DefectParams):
     u, h, w = crops.shape
     with jax.named_scope("defect_roi"):
-        roi, roi_empty = defect_roi(seg_masks, int(params.erode_px))
+        roi, roi_empty, roi_area, row_lo, row_hi = _defect_roi_full(
+            seg_masks, int(params.erode_px)
+        )
 
     thr = int(params.threshold)
     if params.method == "threshold":
@@ -391,19 +419,11 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
         shape = (u, h, w)
         if k * k < 2048 and median_fits(shape):
             # fused Pallas kernel: the median value itself is never needed,
-            # only whether it leaves [g-thr, g+thr] (two rank queries)
+            # only whether it leaves [g-thr, g+thr] (two rank queries).
+            # Only rows intersecting the ROI are processed (the result is
+            # ANDed with the ROI in the blob kernel); the bounds come out
+            # of the ROI kernel's stats row for free
             with jax.named_scope("median_residual"):
-                # only rows intersecting the ROI need the median mask (the
-                # result is ANDed with the ROI right below); the mold never
-                # reaches the crop margins, so ~34% of rows skip
-                rows_any = roi.any(axis=2)
-                row_lo = jnp.argmax(rows_any, axis=1).astype(jnp.int32)
-                row_hi = jnp.where(
-                    rows_any.any(axis=1),
-                    jnp.int32(h)
-                    - jnp.argmax(rows_any[:, ::-1], axis=1).astype(jnp.int32),
-                    jnp.int32(0),
-                )
                 cand = median_residual_mask_pallas(
                     crops, k, thr, row_lo=row_lo, row_hi=row_hi
                 )
@@ -427,7 +447,6 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
     # area filter (indexing_ui.py:1542-1558): Python int() truncation of
     # roi_area * 0.98 computed in double; comparisons run on exact 2x-areas
     min_area = int(params.min_area)
-    roi_area = roi.sum(axis=(1, 2), dtype=jnp.int32)
     max_area = jnp.maximum(
         jnp.int32(min_area),
         jnp.floor(
