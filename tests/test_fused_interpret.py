@@ -1,0 +1,170 @@
+"""Fused-kernel parity in Pallas interpret mode (runs on the CPU backend).
+
+The fused stage kernels (ops/fused_pallas.py, ops/blob_pallas.py fused
+path, ops/cc_pallas.py fused label+stats, ops/median_pallas.py) normally
+only execute on a real TPU; here they run under ``pallas_call(...,
+interpret=True)`` and are checked bit-exact against the XLA formulations /
+the OpenCV oracle, so the standing CPU suite guards their semantics.
+Mosaic-specific lowering is still only exercised by tests/test_tpu_kernels.py.
+"""
+
+import importlib
+from unittest import mock
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_ORIG_PALLAS_CALL = pl.pallas_call
+
+
+def _interpreted(*args, **kwargs):
+    kwargs.setdefault("interpret", True)
+    return _ORIG_PALLAS_CALL(*args, **kwargs)
+
+
+@pytest.fixture()
+def interp():
+    """Reload the kernel modules with pallas_call forced to interpret."""
+    with mock.patch.object(pl, "pallas_call", _interpreted):
+        import tpu_inspect.ops.blob_pallas as bp
+        import tpu_inspect.ops.cc_pallas as ccp
+        import tpu_inspect.ops.fused_pallas as fp
+        import tpu_inspect.ops.median_pallas as mp
+
+        mods = [ccp, fp, bp, mp]
+        for m in mods:
+            importlib.reload(m)
+        yield dict(bp=bp, ccp=ccp, fp=fp, mp=mp)
+    for m in mods:
+        importlib.reload(m)
+
+
+def test_fused_label_stats_interpret(interp):
+    import cv2
+
+    ccp = interp["ccp"]
+    rng = np.random.RandomState(0)
+    fg = rng.rand(5, 40, 44) > 0.55
+    fg[0] = False
+    mask, area, sx, sy, has = map(
+        np.asarray, ccp.largest_component_stats_pallas(jnp.asarray(fg))
+    )
+    for i in range(5):
+        n, lab, stats, _ = cv2.connectedComponentsWithStats(
+            fg[i].astype(np.uint8), connectivity=8
+        )
+        if n <= 1:
+            assert not bool(has[i])
+            continue
+        best = 1 + int(np.argmax(stats[1:, cv2.CC_STAT_AREA]))
+        np.testing.assert_array_equal(mask[i], lab == best)
+        ys, xs = np.nonzero(lab == best)
+        assert area[i] == len(xs) and sx[i] == xs.sum() and sy[i] == ys.sum()
+
+
+def test_seg_tail_interpret(interp):
+    from tpu_inspect import oracle
+    from tpu_inspect.config import SegmentationParams
+    from tpu_inspect.ops.gaussian import gaussian_blur_u8
+    from tpu_inspect.ops import threshold
+    from tpu_inspect.ops.morph_pallas import _close_open_stages
+
+    fp = interp["fp"]
+    rng = np.random.RandomState(9)
+    crops = rng.randint(0, 256, (4, 50, 60), dtype=np.uint8)
+    seg = SegmentationParams().validated()
+    x = gaussian_blur_u8(jnp.asarray(crops), 3)
+    thr = threshold.otsu_threshold(x)
+    out, *_ = fp.seg_tail_pallas(
+        x, stages=_close_open_stages(3), fill=True, thr=thr
+    )
+    ref = np.stack([oracle.segment_unit(c, seg) for c in crops])
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_roi_tail_interpret(interp):
+    import cv2
+
+    from tpu_inspect.synthetic import random_blob_mask
+
+    fp = interp["fp"]
+    masks = np.stack(
+        [random_blob_mask(40, 44, seed=s, n_blobs=3) for s in range(4)]
+    )
+    masks[3] = 0
+    for n in (0, 2):
+        stages = (
+            (("erode", tuple((dy, -n, n) for dy in range(-n, n + 1))),)
+            if n
+            else ()
+        )
+        roi_u8, _, _, _, has, row_lo, row_hi = fp.seg_tail_pallas(
+            jnp.asarray(masks), stages=stages, fill=False, out_largest=True
+        )
+        roi_u8 = np.asarray(roi_u8)
+        for i in range(4):
+            sb = (masks[i] > 0).astype(np.uint8)
+            er = cv2.erode(sb, None, iterations=n) if n > 0 else sb
+            nl, lab = cv2.connectedComponents(er, connectivity=8)
+            if nl <= 1:
+                assert not bool(np.asarray(has)[i])
+                assert int(np.asarray(row_lo)[i]) == 40
+                assert int(np.asarray(row_hi)[i]) == 0
+                continue
+            areas = [(lab == j).sum() for j in range(1, nl)]
+            best = 1 + int(np.argmax(areas))
+            np.testing.assert_array_equal(roi_u8[i] > 0, lab == best)
+            ys = np.nonzero((lab == best).any(axis=1))[0]
+            assert int(np.asarray(row_lo)[i]) == ys.min()
+            assert int(np.asarray(row_hi)[i]) == ys.max() + 1
+
+
+def test_blob_filter_interpret(interp):
+    from tpu_inspect.ops import contour, morphology
+
+    bp = interp["bp"]
+    rng = np.random.RandomState(4)
+    h, w = 40, 44
+    cand = (rng.rand(4, h, w) > 0.75).astype(np.uint8) * 255
+    roi = np.zeros((4, h, w), bool)
+    for i in range(4):
+        roi[i, 4 : h - 4, 5 : w - 5] = True
+        roi[i, 8:11, 8:12] = False
+    roi[3] = False
+    maxs = jnp.asarray(rng.randint(10, 2 * h * w, size=4), dtype=jnp.int32)
+    for mn, pre_open in [(0, True), (6, False)]:
+        out_f, area_f = bp.blob_filter_pallas(
+            jnp.asarray(cand), maxs, min_x2=mn,
+            roi=jnp.asarray(roi), pre_open=pre_open,
+        )
+        out_f, area_f = np.asarray(out_f), np.asarray(area_f)
+        c = jnp.where(jnp.asarray(roi), jnp.asarray(cand), jnp.uint8(0))
+        if pre_open:
+            c = morphology.morph_open(c, morphology.ellipse_se(3))
+        # traced min_area forces the XLA sort-based reference path
+        out_x, _ = contour.filter_and_select(c > 0, jnp.int32(mn), maxs)
+        np.testing.assert_array_equal(out_f > 0, np.asarray(out_x))
+        assert (out_f[out_f > 0] == 255).all()
+        np.testing.assert_array_equal(
+            area_f, np.asarray(out_x).sum(axis=(1, 2))
+        )
+
+
+def test_median_residual_interpret(interp):
+    import cv2
+
+    mp = interp["mp"]
+    rng = np.random.RandomState(1)
+    x = rng.randint(0, 256, (5, 30, 40), dtype=np.uint8)
+    for k, thr in [(9, 24), (21, 0)]:
+        out = np.asarray(
+            mp.median_residual_mask_pallas(jnp.asarray(x), k, thr)
+        )
+        med = np.stack([cv2.medianBlur(im, k) for im in x])
+        resid = np.abs(x.astype(np.int32) - med.astype(np.int32))
+        ref = np.where(resid > thr, 255, 0).astype(np.uint8)
+        np.testing.assert_array_equal(out, ref)
