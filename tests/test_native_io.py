@@ -1,0 +1,94 @@
+"""Native C++ decode library (tpu_inspect.native) parity vs cv2.
+
+The library must either reproduce cv2.imread(IMREAD_UNCHANGED) bit-exactly
+(PNG/TIFF, uint8/uint16, gray/BGR/BGRA) or decline (return None) so the
+caller falls back — never a third behavior.
+"""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from tpu_inspect import native
+from tpu_inspect.imageio import load_gray
+
+
+@pytest.fixture(scope="module")
+def lib_ok():
+    if native.get_lib() is None:
+        pytest.skip("native build unavailable (no g++/libpng/libtiff)")
+    return True
+
+
+def _roundtrip(tmp_path, name, img):
+    p = str(tmp_path / name)
+    assert cv2.imwrite(p, img)
+    ref = cv2.imread(p, cv2.IMREAD_UNCHANGED)
+    got = native.decode(p)
+    return ref, got
+
+
+@pytest.mark.parametrize("ext", ["png", "tif"])
+def test_gray_u8(lib_ok, tmp_path, ext):
+    img = np.random.RandomState(0).randint(0, 256, (37, 53), dtype=np.uint8)
+    ref, got = _roundtrip(tmp_path, f"g8.{ext}", img)
+    assert got is not None and got.dtype == np.uint8
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("ext", ["png", "tif"])
+def test_gray_u16(lib_ok, tmp_path, ext):
+    img = np.random.RandomState(1).randint(0, 65536, (25, 31), dtype=np.uint16)
+    ref, got = _roundtrip(tmp_path, f"g16.{ext}", img)
+    assert got is not None and got.dtype == np.uint16
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("ext", ["png", "tif"])
+def test_bgr_u8(lib_ok, tmp_path, ext):
+    img = np.random.RandomState(2).randint(0, 256, (20, 24, 3), dtype=np.uint8)
+    ref, got = _roundtrip(tmp_path, f"c8.{ext}", img)
+    assert got is not None and got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_bgra_u8(lib_ok, tmp_path):
+    img = np.random.RandomState(3).randint(0, 256, (20, 24, 4), dtype=np.uint8)
+    ref, got = _roundtrip(tmp_path, "c8a.png", img)
+    assert got is not None and got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_bgr_u16_png(lib_ok, tmp_path):
+    img = np.random.RandomState(4).randint(
+        0, 65536, (15, 18, 3), dtype=np.uint16
+    )
+    ref, got = _roundtrip(tmp_path, "c16.png", img)
+    assert got is not None and got.dtype == np.uint16
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_float_tiff_declines(lib_ok, tmp_path):
+    img = np.random.RandomState(5).rand(9, 11).astype(np.float32)
+    p = str(tmp_path / "f32.tif")
+    assert cv2.imwrite(p, img)
+    assert native.decode(p) is None  # -> cv2 fallback
+    # and the public loader still handles it (min-max normalize path)
+    out = load_gray(p)
+    assert out.dtype == np.uint8 and out.shape == img.shape
+
+
+def test_load_gray_uses_native_and_matches(lib_ok, tmp_path):
+    rng = np.random.RandomState(6)
+    img16 = rng.randint(0, 65536, (30, 40), dtype=np.uint16)
+    p = str(tmp_path / "m16.tif")
+    assert cv2.imwrite(p, img16)
+    out = load_gray(p)
+    np.testing.assert_array_equal(out, (img16 / 256).astype(np.uint8))
+
+
+def test_unknown_container_declines(lib_ok, tmp_path):
+    p = str(tmp_path / "x.bmp")
+    assert cv2.imwrite(p, np.zeros((4, 4), np.uint8))
+    assert native.decode(p) is None

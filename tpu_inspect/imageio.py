@@ -31,12 +31,20 @@ def load_gray(path: str) -> np.ndarray:
     - uint16 inputs: scaled /256 (indexing_ui.py:157-162)
     - float inputs: min-max normalized to 0..255 (indexing_ui.py:163-166)
     - BGR(A) inputs: converted with the fixed-point BT.601 weights
-    """
-    import cv2
 
-    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    PNG/TIFF decode goes through the framework's native C++ library
+    (tpu_inspect.native, libpng/libtiff) when available; anything it cannot
+    reproduce bit-exactly falls back to cv2.
+    """
+    from tpu_inspect import native
+
+    img = native.decode(path)
     if img is None:
-        raise RuntimeError(f"Unable to load image: {path}")
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise RuntimeError(f"Unable to load image: {path}")
     return _to_gray_u8(img)
 
 

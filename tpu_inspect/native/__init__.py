@@ -1,0 +1,117 @@
+"""First-party native (C++) host-runtime components.
+
+``tin_io`` is the framework's own image-decode library (libpng + libtiff),
+standing in for the reference's Qt/OpenCV C++ decode (indexing_ui.py:
+145-194). It is compiled on demand with the system toolchain and loaded
+through ctypes; any failure (no compiler, unsupported file layout) makes
+the callers fall back to cv2, so the native path can never break parity.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "tin_io.cc")
+_SO = os.path.join(_DIR, "libtin_io.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_lib_failed = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O2", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp",
+        "-lpng", "-ltiff",
+    ]
+    try:
+        res = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=120
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if res.returncode != 0:
+        return False
+    os.replace(_SO + ".tmp", _SO)
+    return True
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """Load (building if needed) the native library; None when unavailable."""
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(
+                _SO
+            ) < os.path.getmtime(_SRC):
+                if not _build():
+                    _lib_failed = True
+                    return None
+            lib = ctypes.CDLL(_SO)
+            lib.tin_decode.restype = ctypes.c_int
+            lib.tin_decode.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.tin_free.restype = None
+            lib.tin_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+            lib.tin_version.restype = ctypes.c_char_p
+            _lib = lib
+        except OSError:
+            _lib_failed = True
+    return _lib
+
+
+def decode(path: str) -> np.ndarray | None:
+    """Decode PNG/TIFF to a numpy array in cv2.imread(IMREAD_UNCHANGED)
+    conventions (uint8/uint16; [H,W] gray, [H,W,3] BGR, [H,W,4] BGRA).
+
+    Returns None whenever the native path cannot reproduce cv2 bit-exactly
+    (unsupported layout, build failure, other containers) — callers fall
+    back to cv2.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    data = ctypes.POINTER(ctypes.c_uint8)()
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    depth = ctypes.c_int32()
+    rc = lib.tin_decode(
+        os.fsencode(path),
+        ctypes.byref(data),
+        ctypes.byref(w),
+        ctypes.byref(h),
+        ctypes.byref(ch),
+        ctypes.byref(depth),
+    )
+    if rc != 0:
+        return None
+    try:
+        nbytes = h.value * w.value * ch.value * (depth.value // 8)
+        raw = ctypes.cast(
+            data, ctypes.POINTER(ctypes.c_uint8 * nbytes)
+        ).contents
+        arr = np.frombuffer(
+            raw, dtype=np.uint8 if depth.value == 8 else np.uint16
+        ).copy()
+    finally:
+        lib.tin_free(data)
+    if ch.value == 1:
+        return arr.reshape(h.value, w.value)
+    return arr.reshape(h.value, w.value, ch.value)
