@@ -92,3 +92,27 @@ def test_unknown_container_declines(lib_ok, tmp_path):
     p = str(tmp_path / "x.bmp")
     assert cv2.imwrite(p, np.zeros((4, 4), np.uint8))
     assert native.decode(p) is None
+
+
+def test_encode_png_gray_roundtrip(lib_ok, tmp_path):
+    img = np.random.RandomState(7).randint(0, 256, (21, 33), dtype=np.uint8)
+    p = str(tmp_path / "enc.png")
+    assert native.encode_png_gray(p, img)
+    np.testing.assert_array_equal(cv2.imread(p, cv2.IMREAD_UNCHANGED), img)
+    np.testing.assert_array_equal(native.decode(p), img)
+
+
+def test_export_masks_uses_native(lib_ok, tmp_path):
+    from tpu_inspect.persistence import export_masks_and_csv
+
+    masks = [
+        (np.random.RandomState(i).rand(16, 20) > 0.5).astype(np.uint8) * 255
+        for i in range(3)
+    ]
+    masks[1] = None
+    csv_path = export_masks_and_csv(masks, tmp_path)
+    for i in (0, 2):
+        back = cv2.imread(str(tmp_path / f"mask_{i:04d}.png"),
+                          cv2.IMREAD_UNCHANGED)
+        np.testing.assert_array_equal(back, masks[i])
+    assert "masks_summary.csv" in csv_path

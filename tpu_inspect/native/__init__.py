@@ -70,6 +70,13 @@ def get_lib() -> ctypes.CDLL | None:
             lib.tin_free.restype = None
             lib.tin_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
             lib.tin_version.restype = ctypes.c_char_p
+            lib.tin_encode_png_gray8.restype = ctypes.c_int
+            lib.tin_encode_png_gray8.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int32,
+                ctypes.c_int32,
+            ]
             _lib = lib
         except OSError:
             _lib_failed = True
@@ -115,3 +122,22 @@ def decode(path: str) -> np.ndarray | None:
     if ch.value == 1:
         return arr.reshape(h.value, w.value)
     return arr.reshape(h.value, w.value, ch.value)
+
+
+def encode_png_gray(path: str, img: np.ndarray) -> bool:
+    """Write [H, W] uint8 as grayscale PNG via the native encoder.
+
+    Returns False (caller falls back to cv2.imwrite) when the native
+    library is unavailable or the write fails.
+    """
+    lib = get_lib()
+    if lib is None or img.ndim != 2 or img.dtype != np.uint8:
+        return False
+    arr = np.ascontiguousarray(img)
+    rc = lib.tin_encode_png_gray8(
+        os.fsencode(path),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int32(arr.shape[1]),
+        np.int32(arr.shape[0]),
+    )
+    return rc == 0

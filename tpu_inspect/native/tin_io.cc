@@ -186,6 +186,46 @@ static int decode_tiff(const char* path, uint8_t** data, int32_t* w,
 }
 
 // ---------------------------------------------------------------------------
+// PNG encode (8-bit grayscale: the masks_%04d.png export path,
+// indexing_ui.py:2703-2730)
+// ---------------------------------------------------------------------------
+
+int tin_encode_png_gray8(const char* path, const uint8_t* data, int32_t w,
+                         int32_t h) {
+  if (w <= 0 || h <= 0 || !data) return 1;
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return 1;
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(fp);
+    return 2;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    fclose(fp);
+    return 2;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(fp);
+    return 3;
+  }
+  png_init_io(png, fp);
+  png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_GRAY, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  for (int32_t y = 0; y < h; y++) {
+    png_write_row(png, (png_const_bytep)(data + (size_t)y * w));
+  }
+  png_write_end(png, info);
+  png_destroy_write_struct(&png, &info);
+  fclose(fp);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // dispatch by magic bytes
 // ---------------------------------------------------------------------------
 

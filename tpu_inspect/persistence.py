@@ -194,8 +194,15 @@ def export_masks_and_csv(masks, dirpath: str | os.PathLike) -> str:
         if mask is None:
             continue
         fname = f"mask_{i:04d}.png"
-        with open(os.path.join(dirpath, fname), "wb") as f:
-            f.write(_encode_png(np.asarray(mask, dtype=np.uint8)))
+        fpath = os.path.join(dirpath, fname)
+        m = np.asarray(mask, dtype=np.uint8)
+        # first-party native PNG encoder (tpu_inspect.native); byte-level
+        # encoder choice is not part of the artifact contract — pixels are
+        from tpu_inspect import native
+
+        if m.ndim != 2 or not native.encode_png_gray(fpath, m):
+            with open(fpath, "wb") as f:
+                f.write(_encode_png(m))
         area, cx, cy = _mask_stats(np.asarray(mask))
         rows.append(
             {"index": i, "mask": fname, "area": area, "centroid_x": cx, "centroid_y": cy}
