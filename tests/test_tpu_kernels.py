@@ -228,6 +228,32 @@ def test_pallas_blob_select_parity():
             np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_x))
             np.testing.assert_array_equal(np.asarray(found_p), np.asarray(found_x))
 
+        # fused ROI-AND + 3x3-open head (the defect-path form)
+        from tpu_inspect.ops import morphology
+        from tpu_inspect.ops.blob_pallas import blob_filter_pallas
+
+        roi = np.zeros((5, h, w), bool)
+        for i in range(5):
+            roi[i, 3 : h - 3, 4 : w - 4] = True
+            roi[i, 6:9, 6:10] = False
+        roi[4] = False
+        for mn, pre_open in [(0, True), (8, False)]:
+            out_f, area_f = blob_filter_pallas(
+                jnp.asarray(fg.astype(np.uint8) * 255),
+                maxs,
+                min_x2=mn,
+                roi=jnp.asarray(roi),
+                pre_open=pre_open,
+            )
+            c = jnp.where(jnp.asarray(roi), jnp.asarray(fg.astype(np.uint8) * 255), jnp.uint8(0))
+            if pre_open:
+                c = morphology.morph_open(c, morphology.ellipse_se(3))
+            out_x, _ = contour.filter_and_select(c > 0, jnp.int32(mn), maxs)
+            np.testing.assert_array_equal(np.asarray(out_f) > 0, np.asarray(out_x))
+            np.testing.assert_array_equal(
+                np.asarray(area_f), np.asarray(out_x).sum(axis=(1, 2))
+            )
+
 
 def test_pallas_median_residual_mask_parity():
     """Direct parity for the fused median-residual kernel incl. degenerate
