@@ -140,8 +140,20 @@ def main():
     )
 
     t0 = time.perf_counter()
-    out = _inspect_image_device(*args, **kw)
-    jax.block_until_ready(out)
+    try:
+        out = _inspect_image_device(*args, **kw)
+        jax.block_until_ready(out)
+    except Exception as e:  # compile/lowering failure of a fused kernel:
+        # fall back to the individually proven split kernels and retry once
+        # (gates read TPU_INSPECT_DISABLE_FUSED at trace time)
+        import os
+
+        log(f"fused-kernel compile failed ({type(e).__name__}: {e}); "
+            "retrying with TPU_INSPECT_DISABLE_FUSED=1")
+        os.environ["TPU_INSPECT_DISABLE_FUSED"] = "1"
+        jax.clear_caches()
+        out = _inspect_image_device(*args, **kw)
+        jax.block_until_ready(out)
     log(f"compile+first run: {time.perf_counter() - t0:.1f} s on {jax.devices()[0]}")
 
     # correctness gate: the benchmark only counts if parity holds

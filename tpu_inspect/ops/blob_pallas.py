@@ -459,6 +459,10 @@ def blob_filter_fits(shape) -> bool:
     """Gate for blob_filter_pallas: the padded-plane i32 keys must fit and
     the per-unit working set (several i32 planes during the fixpoints) must
     stay within VMEM."""
+    from tpu_inspect.ops.common import fused_disabled
+
+    if fused_disabled():
+        return False
     _, h, w = shape
     try:
         on_tpu = jax.devices()[0].platform == "tpu"

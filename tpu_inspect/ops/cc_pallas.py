@@ -418,6 +418,10 @@ def fused_stats_fits(shape) -> bool:
     """Gate for largest_component_stats_pallas: the label-kernel VMEM
     budget (whole fg batch + fixpoint planes) AND the stats int32-sum
     bound must both hold."""
+    from tpu_inspect.ops.common import fused_disabled
+
+    if fused_disabled():
+        return False
     u, h, w = shape
     hw = h * w
     k_pow = max(2, int(np.ceil(np.log2(hw + 2))))

@@ -210,6 +210,10 @@ def seg_tail_pallas(
 def tail_fits(shape) -> bool:
     """Gate: whole-batch uint8 input + ~8 per-unit int32 planes in VMEM,
     int32-safe coordinate sums."""
+    from tpu_inspect.ops.common import fused_disabled
+
+    if fused_disabled():
+        return False
     u, h, w = shape
     hw = h * w
     k_pow = max(2, int(np.ceil(np.log2(hw + 2))))

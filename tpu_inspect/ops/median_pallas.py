@@ -125,7 +125,8 @@ _CHUNK = 4  # units grouped into one matmul M dimension (G*256 rows)
 
 
 def _median_residual_kernel(
-    x_ref, s2_ref, lo_ref, hi_ref, out_ref, hist_ref, *, k, thr, u, h, w
+    x_ref, s2_ref, lo_ref, hi_ref, out_ref, hist_ref,
+    *, k, thr, u, h, w, mxu_reduce=True,
 ):
     """Fused: out = 255 where |x - median_k(x)| > thr else 0.
 
@@ -244,14 +245,27 @@ def _median_residual_kernel(
                     preferred_element_type=jnp.float32,
                 )  # [m, c1-c0] f32 window histograms, exact (counts <= 441)
                 wm = win * mask[:, c0:c1]
-                combs.append(
-                    jax.lax.dot_general(
-                        ones_block,
-                        wm,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                )  # [G, c1-c0]
+                if mxu_reduce:
+                    combs.append(
+                        jax.lax.dot_general(
+                            ones_block,
+                            wm,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )  # [G, c1-c0]
+                else:
+                    combs.append(
+                        jnp.concatenate(
+                            [
+                                wm[g * 256 : (g + 1) * 256, :].sum(
+                                    axis=0, keepdims=True
+                                )
+                                for g in range(G)
+                            ],
+                            axis=0,
+                        )
+                    )  # [G, c1-c0] (kill-switch fallback: sublane tree sum)
             comb = (
                 jnp.concatenate(combs, axis=1) if len(combs) > 1 else combs[0]
             )
@@ -480,12 +494,22 @@ def median_residual_mask_pallas(
         row_lo = jnp.concatenate([row_lo, jnp.full((pad_u,), h, jnp.int32)])
         row_hi = jnp.concatenate([row_hi, jnp.zeros((pad_u,), jnp.int32)])
     up = u + pad_u
-    kfn = (
-        _median_residual_kernel_split
-        if _USE_SPLIT_MEDIAN
-        else _median_residual_kernel
-    )
-    kernel = functools.partial(kfn, k=k, thr=int(thr), u=up, h=h, w=w)
+    from tpu_inspect.ops.common import fused_disabled
+
+    if _USE_SPLIT_MEDIAN and not fused_disabled():
+        kernel = functools.partial(
+            _median_residual_kernel_split, k=k, thr=int(thr), u=up, h=h, w=w
+        )
+    else:
+        kernel = functools.partial(
+            _median_residual_kernel,
+            k=k,
+            thr=int(thr),
+            u=up,
+            h=h,
+            w=w,
+            mxu_reduce=not fused_disabled(),
+        )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((up, h, 1, w), jnp.uint8),
