@@ -259,3 +259,12 @@ def test_bare_list_grid_session_inspects_all_units():
     crops = np.asarray(crop_units(ref, GRID))
     o_masks, _, _ = oracle.segment_all_units(crops, sess.seg_params)
     np.testing.assert_array_equal(seg.masks, o_masks)
+
+
+def test_cli_doctor(capsys):
+    from tpu_inspect.cli import main
+
+    main(["doctor"])
+    out = capsys.readouterr().out
+    assert "devices:" in out and "native io:" in out
+    assert "gate tail_fits" in out

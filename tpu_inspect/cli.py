@@ -159,6 +159,40 @@ def cmd_ui(args):
     ui_main(argv)
 
 
+def cmd_doctor(args):
+    """Deployment diagnostics: platform, kernel-gate dispatch, native IO."""
+    import jax
+
+    from tpu_inspect import native
+    from tpu_inspect.ops.blob_pallas import blob_filter_fits
+    from tpu_inspect.ops.common import fused_disabled
+    from tpu_inspect.ops.flood_pallas import flood_fits, flood_fits_tiled
+    from tpu_inspect.ops.fused_pallas import tail_fits
+    from tpu_inspect.ops.median_pallas import median_fits, median_fits_tiled
+
+    try:
+        devs = jax.devices()
+        plat = devs[0].platform
+        print(f"devices: {len(devs)} x {plat} ({devs[0].device_kind})")
+    except Exception as e:  # tunnel/backend failure should still diagnose
+        print(f"devices: UNAVAILABLE ({type(e).__name__}: {e})")
+        plat = None
+    shape = (48, 315, 316)
+    big = (1, 3000, 4096)
+    print(f"fused kernels disabled: {fused_disabled()}")
+    print(f"gate tail_fits{shape}: {tail_fits(shape)}")
+    print(f"gate blob_filter_fits{shape}: {blob_filter_fits(shape)}")
+    print(f"gate median_fits{shape}: {median_fits(shape)}")
+    print(f"gate flood_fits{shape}: {flood_fits(shape)}")
+    print(f"gate median_fits_tiled{big}: {median_fits_tiled(big)}")
+    print(f"gate flood_fits_tiled{big}: {flood_fits_tiled(big)}")
+    lib = native.get_lib()
+    print(
+        "native io: "
+        + (lib.tin_version().decode() if lib else "unavailable (cv2 fallback)")
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="tpu-inspect")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -183,6 +217,11 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="run the standard benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    d = sub.add_parser(
+        "doctor", help="print platform / kernel-dispatch / native-IO status"
+    )
+    d.set_defaults(fn=cmd_doctor)
 
     u = sub.add_parser("ui", help="serve the interactive web client")
     u.add_argument("images", nargs="*", help="image files to preload")
