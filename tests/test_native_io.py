@@ -116,3 +116,89 @@ def test_export_masks_uses_native(lib_ok, tmp_path):
                           cv2.IMREAD_UNCHANGED)
         np.testing.assert_array_equal(back, masks[i])
     assert "masks_summary.csv" in csv_path
+
+
+# ---------------------------------------------------------------------------
+# StreamLoader: threaded prefetch decode (native data-loader runtime)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_loader_order_and_parity(lib_ok, tmp_path):
+    """Many mixed-format frames, more threads than capacity: frames must
+    come back strictly in path order, each bit-exact vs the one-shot
+    decoder."""
+    rng = np.random.RandomState(8)
+    paths, refs = [], []
+    for i in range(20):
+        if i % 3 == 0:
+            img = rng.randint(0, 65536, (11 + i, 13, ), dtype=np.uint16)
+            p = str(tmp_path / f"s{i:02d}.tif")
+        elif i % 3 == 1:
+            img = rng.randint(0, 256, (9, 10 + i, 3), dtype=np.uint8)
+            p = str(tmp_path / f"s{i:02d}.png")
+        else:
+            img = rng.randint(0, 256, (8 + i, 7), dtype=np.uint8)
+            p = str(tmp_path / f"s{i:02d}.png")
+        assert cv2.imwrite(p, img)
+        paths.append(p)
+        refs.append(cv2.imread(p, cv2.IMREAD_UNCHANGED))
+    out = list(native.StreamLoader(paths, capacity=2, threads=4))
+    assert len(out) == len(paths)
+    for got, ref in zip(out, refs):
+        assert got is not None
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_stream_loader_declined_frames_yield_none(lib_ok, tmp_path):
+    """Frames the native decoder declines (unknown container, corrupt file)
+    come back as None at their position; the rest still decode."""
+    ok1 = str(tmp_path / "a.png")
+    bad = str(tmp_path / "b.png")  # PNG extension, garbage bytes
+    bmp = str(tmp_path / "c.bmp")  # unsupported container
+    ok2 = str(tmp_path / "d.tif")
+    img1 = np.random.RandomState(9).randint(0, 256, (6, 7), dtype=np.uint8)
+    img2 = np.random.RandomState(10).randint(0, 65536, (5, 8), dtype=np.uint16)
+    assert cv2.imwrite(ok1, img1)
+    with open(bad, "wb") as f:
+        f.write(b"not a png at all")
+    assert cv2.imwrite(bmp, np.zeros((4, 4), np.uint8))
+    assert cv2.imwrite(ok2, img2)
+    out = list(native.StreamLoader([ok1, bad, bmp, ok2], capacity=3, threads=2))
+    np.testing.assert_array_equal(out[0], img1)
+    assert out[1] is None
+    assert out[2] is None
+    np.testing.assert_array_equal(out[3], img2)
+
+
+def test_stream_loader_empty_and_close(lib_ok):
+    assert list(native.StreamLoader([])) == []
+    # abandoning a partially consumed loader must not hang or leak the pool
+    ldr = native.StreamLoader([], capacity=1, threads=1)
+    ldr.close()
+    ldr.close()  # idempotent
+
+
+def test_load_gray_stream_matches_load_gray(lib_ok, tmp_path):
+    from tpu_inspect.imageio import load_gray_stream
+
+    rng = np.random.RandomState(11)
+    paths = []
+    imgs = [
+        rng.randint(0, 256, (12, 14), dtype=np.uint8),          # gray u8 png
+        rng.randint(0, 65536, (10, 9), dtype=np.uint16),        # u16 tif (/256)
+        rng.randint(0, 256, (8, 11, 3), dtype=np.uint8),        # BGR png
+        rng.rand(7, 7).astype(np.float32),                      # float tif (minmax, cv2 fallback)
+    ]
+    for i, (img, ext) in enumerate(zip(imgs, ["png", "tif", "png", "tif"])):
+        p = str(tmp_path / f"lg{i}.{ext}")
+        assert cv2.imwrite(p, img)
+        paths.append(p)
+    got = list(load_gray_stream(paths, capacity=2, threads=2))
+    for g, p in zip(got, paths):
+        np.testing.assert_array_equal(g, load_gray(p))
+
+
+def test_stream_loader_unreadable_file_yields_none(lib_ok, tmp_path):
+    missing = str(tmp_path / "never_written.png")
+    out = list(native.StreamLoader([missing]))
+    assert out == [None]

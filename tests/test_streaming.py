@@ -55,3 +55,33 @@ def test_stream_fetch_masks():
     (r,) = stream_inspect(frames, GRID, fetch_masks=True)
     assert r.seg_masks.shape == (6, 60, 64)
     assert r.defect_masks.shape == (6, 60, 64)
+
+
+def test_stream_inspect_paths_matches_in_memory(tmp_path):
+    """File-based streaming (native prefetch decode) must equal in-memory
+    streaming frame for frame."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    from tpu_inspect.streaming import stream_inspect_paths
+
+    frames = [
+        make_mold_image(GRID, HW, seed=s, defect_rate=0.6) for s in range(4)
+    ]
+    paths = []
+    for i, f in enumerate(frames):
+        p = str(tmp_path / f"frame_{i}.png")
+        assert cv2.imwrite(p, f)
+        paths.append(p)
+
+    kw = dict(
+        seg=SegmentationParams(),
+        defect=DefectParams(min_area=5),
+        exclusions=[{"shape": "circle", "cx": 30, "cy": 30, "r": 9}],
+    )
+    mem = list(stream_inspect(frames, GRID, **kw))
+    file = list(stream_inspect_paths(paths, GRID, decode_threads=2, **kw))
+    assert [r.index for r in file] == [r.index for r in mem]
+    for a, b in zip(file, mem):
+        np.testing.assert_array_equal(a.verdicts, b.verdicts)
+        np.testing.assert_array_equal(a.areas, b.areas)

@@ -48,6 +48,22 @@ def load_gray(path: str) -> np.ndarray:
     return _to_gray_u8(img)
 
 
+def load_gray_stream(paths, capacity: int = 4, threads: int = 3):
+    """Iterate uint8 grayscale frames for a list of image paths.
+
+    Same per-frame semantics as :func:`load_gray`, but decode runs ahead on
+    the native worker pool (tpu_inspect.native.StreamLoader) so host decode
+    overlaps device compute in streaming deployments. Frames the native
+    decoder declines fall back to :func:`load_gray` (cv2) individually;
+    unreadable files raise at their position in the stream.
+    """
+    from tpu_inspect import native
+
+    paths = [str(p) for p in paths]
+    for path, raw in zip(paths, native.StreamLoader(paths, capacity, threads)):
+        yield _to_gray_u8(raw) if raw is not None else load_gray(path)
+
+
 def decode_gray(data: bytes) -> np.ndarray:
     """load_gray for in-memory encoded bytes (drag-and-drop uploads,
     indexing_ui.py:1134-1161)."""

@@ -27,7 +27,7 @@ _lib_failed = False
 
 def _build() -> bool:
     cmd = [
-        "g++", "-O2", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp",
+        "g++", "-O2", "-shared", "-fPIC", "-pthread", _SRC, "-o", _SO + ".tmp",
         "-lpng", "-ltiff",
     ]
     try:
@@ -77,6 +77,24 @@ def get_lib() -> ctypes.CDLL | None:
                 ctypes.c_int32,
                 ctypes.c_int32,
             ]
+            lib.tin_loader_create.restype = ctypes.c_void_p
+            lib.tin_loader_create.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_int32,
+            ]
+            lib.tin_loader_next.restype = ctypes.c_int
+            lib.tin_loader_next.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.tin_loader_destroy.restype = None
+            lib.tin_loader_destroy.argtypes = [ctypes.c_void_p]
             _lib = lib
         except OSError:
             _lib_failed = True
@@ -141,3 +159,94 @@ def encode_png_gray(path: str, img: np.ndarray) -> bool:
         np.int32(arr.shape[0]),
     )
     return rc == 0
+
+
+class StreamLoader:
+    """In-order prefetching decoder over a list of image paths.
+
+    A native worker pool (tin_loader_*) decodes frames ahead of the consumer
+    into a bounded queue, so host decode overlaps device compute in
+    streaming deployments (streaming.py). The reference decodes on the UI
+    thread at image-switch time instead (indexing_ui.py:145-194).
+
+    Iterating yields one item per path, in order: a numpy array in
+    ``decode()`` conventions, or None when the native path declined that
+    frame (the caller decodes it via cv2, exactly like ``decode()``
+    returning None). When the native library is unavailable every frame
+    yields None — callers degrade to synchronous decode, never break.
+    """
+
+    def __init__(self, paths, capacity: int = 4, threads: int = 3):
+        self._paths = [str(p) for p in paths]
+        self._lib = get_lib()
+        self._handle = None
+        if self._lib is not None and self._paths:
+            n = len(self._paths)
+            arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in self._paths])
+            self._handle = self._lib.tin_loader_create(
+                arr,
+                np.int32(n),
+                np.int32(max(1, int(capacity))),
+                np.int32(max(1, int(threads))),
+            )
+
+    def __len__(self) -> int:
+        return len(self._paths)
+
+    def __iter__(self):
+        lib, handle = self._lib, self._handle
+        if handle is None:
+            for _ in self._paths:
+                yield None
+            return
+        try:
+            for _ in self._paths:
+                data = ctypes.POINTER(ctypes.c_uint8)()
+                w = ctypes.c_int32()
+                h = ctypes.c_int32()
+                ch = ctypes.c_int32()
+                depth = ctypes.c_int32()
+                rc = lib.tin_loader_next(
+                    handle,
+                    ctypes.byref(data),
+                    ctypes.byref(w),
+                    ctypes.byref(h),
+                    ctypes.byref(ch),
+                    ctypes.byref(depth),
+                )
+                if rc != 0:
+                    yield None
+                    continue
+                try:
+                    nbytes = h.value * w.value * ch.value * (depth.value // 8)
+                    raw = ctypes.cast(
+                        data, ctypes.POINTER(ctypes.c_uint8 * nbytes)
+                    ).contents
+                    out = np.frombuffer(
+                        raw, dtype=np.uint8 if depth.value == 8 else np.uint16
+                    ).copy()
+                finally:
+                    lib.tin_free(data)
+                if ch.value == 1:
+                    yield out.reshape(h.value, w.value)
+                else:
+                    yield out.reshape(h.value, w.value, ch.value)
+        finally:
+            self.close()
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.tin_loader_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -252,3 +252,134 @@ int tin_decode(const char* path, uint8_t** data, int32_t* w, int32_t* h,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Threaded prefetch loader — the framework's native data-loader runtime.
+//
+// The reference decodes each image synchronously on the UI thread at switch
+// time (indexing_ui.py:145-194, :1225). Production deployment is a stream of
+// captures (streaming.py); this loader decodes ahead on a worker pool so the
+// host never stalls the device pipeline on libpng/libtiff: workers claim
+// frame indices, decode into malloc'd buffers, and a bounded in-order queue
+// hands frames to the consumer (bounded => at most `capacity` decoded frames
+// in flight, so memory stays flat on arbitrarily long streams).
+// ---------------------------------------------------------------------------
+
+#include <condition_variable>
+#include <map>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Frame {
+  uint8_t* data = nullptr;
+  int32_t w = 0, h = 0, channels = 0, bitdepth = 0;
+  int rc = 0;
+};
+
+struct Loader {
+  std::vector<std::string> paths;
+  int32_t capacity = 1;
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::condition_variable ready_cv;  // consumer: frames[consumed] available
+  std::condition_variable space_cv;  // workers: claim slot within capacity
+  std::map<int32_t, Frame> frames;   // decoded, not yet consumed
+  int32_t next_claim = 0;
+  int32_t consumed = 0;
+  bool stop = false;
+
+  void work() {
+    for (;;) {
+      int32_t idx;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        space_cv.wait(lk, [&] {
+          return stop || (next_claim < (int32_t)paths.size() &&
+                          next_claim < consumed + capacity);
+        });
+        if (stop || next_claim >= (int32_t)paths.size()) return;
+        idx = next_claim++;
+      }
+      Frame f;
+      f.rc = tin_decode(paths[idx].c_str(), &f.data, &f.w, &f.h, &f.channels,
+                        &f.bitdepth);
+      if (f.rc != 0) f.data = nullptr;
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (stop) {
+          free(f.data);
+          return;
+        }
+        frames[idx] = f;
+      }
+      ready_cv.notify_all();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* tin_loader_create(const char** paths, int32_t n, int32_t capacity,
+                        int32_t threads) {
+  if (n < 0 || capacity < 1 || threads < 1) return nullptr;
+  Loader* L = new Loader();
+  L->paths.reserve(n);
+  for (int32_t i = 0; i < n; i++) L->paths.emplace_back(paths[i]);
+  L->capacity = capacity;
+  int32_t t = threads;
+  if (n > 0 && t > n) t = n;
+  for (int32_t i = 0; i < t && n > 0; i++) {
+    L->workers.emplace_back(&Loader::work, L);
+  }
+  return L;
+}
+
+// Delivers frames strictly in path order. Returns 0 on success (caller owns
+// *data, frees with tin_free), 1 when the stream is exhausted, and the
+// per-frame tin_decode code (>1, *data null) when that frame's native decode
+// declined — the caller decodes that one path itself and keeps streaming.
+int tin_loader_next(void* handle, uint8_t** data, int32_t* w, int32_t* h,
+                    int32_t* channels, int32_t* bitdepth) {
+  Loader* L = (Loader*)handle;
+  if (!L) return 1;
+  Frame f;
+  {
+    std::unique_lock<std::mutex> lk(L->mu);
+    if (L->consumed >= (int32_t)L->paths.size()) return 1;
+    L->ready_cv.wait(
+        lk, [&] { return L->frames.count(L->consumed) || L->stop; });
+    if (L->stop) return 1;
+    f = L->frames[L->consumed];
+    L->frames.erase(L->consumed);
+    L->consumed++;
+  }
+  L->space_cv.notify_all();
+  *data = f.data;
+  *w = f.w;
+  *h = f.h;
+  *channels = f.channels;
+  *bitdepth = f.bitdepth;
+  return f.rc;
+}
+
+void tin_loader_destroy(void* handle) {
+  Loader* L = (Loader*)handle;
+  if (!L) return;
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->stop = true;
+  }
+  L->space_cv.notify_all();
+  L->ready_cv.notify_all();
+  for (auto& t : L->workers) t.join();
+  for (auto& kv : L->frames) free(kv.second.data);
+  delete L;
+}
+
+}  // extern "C"

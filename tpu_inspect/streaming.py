@@ -115,6 +115,38 @@ def stream_inspect(
         yield collect(j, out)
 
 
+def stream_inspect_paths(
+    paths,
+    grid: GridParams,
+    seg: SegmentationParams | None = None,
+    defect: DefectParams | None = None,
+    exclusions=(),
+    ref_centroids: dict[int, tuple[float, float]] | None = None,
+    prefetch: int = 2,
+    fetch_masks: bool = False,
+    decode_ahead: int = 4,
+    decode_threads: int = 3,
+) -> Iterator[StreamResult]:
+    """stream_inspect over image *files*: the native prefetch loader
+    (tpu_inspect.native.StreamLoader) decodes ahead on C++ worker threads
+    while the device pipeline runs, so neither libpng/libtiff nor the
+    reference's uint16/minmax normalization (imageio.load_gray_stream)
+    stalls the stream. The reference decodes synchronously on the UI thread
+    at switch time instead (indexing_ui.py:145-194, :1225)."""
+    from tpu_inspect.imageio import load_gray_stream
+
+    yield from stream_inspect(
+        load_gray_stream(paths, capacity=decode_ahead, threads=decode_threads),
+        grid,
+        seg,
+        defect,
+        exclusions=exclusions,
+        ref_centroids=ref_centroids,
+        prefetch=prefetch,
+        fetch_masks=fetch_masks,
+    )
+
+
 def stream_inspect_sharded(
     images: Iterable[np.ndarray],
     grid: GridParams,
