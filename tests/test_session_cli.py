@@ -268,3 +268,48 @@ def test_cli_doctor(capsys):
     out = capsys.readouterr().out
     assert "devices:" in out and "native io:" in out
     assert "gate tail_fits" in out
+
+
+def test_cli_stream(tmp_path, capsys):
+    """`stream` subcommand: JSONL verdict line per frame, anchors from the
+    first frame when the grid carries exclusions but no anchors."""
+    import cv2
+
+    from tpu_inspect import cli, engine, oracle
+    from tpu_inspect.config import DefectParams, SegmentationParams
+    from tpu_inspect.persistence import GridDocument, grid_metadata, save_grid
+    from tpu_inspect.geometry import grid_boxes
+    from tpu_inspect.synthetic import crop_units
+
+    frames = [
+        make_mold_image(GRID, HW, seed=20 + s, defect_rate=0.8) for s in range(3)
+    ]
+    paths = []
+    for i, f in enumerate(frames):
+        p = str(tmp_path / f"cap_{i}.png")
+        assert cv2.imwrite(p, f)
+        paths.append(p)
+    excl = [{"shape": "rect", "x": 4, "y": 4, "w": 9, "h": 9}]
+    grid_p = str(tmp_path / "grid.json")
+    save_grid(
+        GridDocument(boxes=grid_boxes(GRID), metadata=grid_metadata(GRID, *HW[::-1]),
+                     exclusions=excl),
+        grid_p,
+    )
+
+    cli.main(["stream", "--grid", grid_p, *paths, "--min-area", "5"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [l["index"] for l in lines] == [0, 1, 2]
+    assert all(l["unit_count"] == 6 for l in lines)
+
+    # oracle cross-check: first frame anchors, streaming verdicts per frame
+    seg, dfp = SegmentationParams(), DefectParams(min_area=5)
+    anchors = engine.segment_units(crop_units(frames[0], GRID), seg).centroid_dict()
+    for i, line in enumerate(lines):
+        crops = crop_units(frames[i], GRID)
+        masks, _, _ = oracle.segment_all_units(
+            crops, seg, exclusions=excl, ref_centroids=anchors,
+            is_reference=False)
+        _, _, verdicts = oracle.inspect_units(crops, masks, dfp)
+        assert line["ng_count"] == int(verdicts.sum())
+        assert line["ng_units"] == [int(x) for x in np.nonzero(verdicts)[0]]

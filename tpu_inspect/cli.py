@@ -6,11 +6,14 @@ Replaces the reference's UI-driven flows with commands:
   python -m tpu_inspect.cli inspect  --grid grid.json --image a.tif b.tif --out out/
   python -m tpu_inspect.cli gridgen  --base 251,232,316,315 --units 4x6 \
       --blocks 2x1 --unit-space 133,136 --block-space 252,0 --out grid.json
+  python -m tpu_inspect.cli stream   --grid grid.json frame0.tif frame1.tif ...
   python -m tpu_inspect.cli bench
 
 `inspect` treats the first image as the reference capture (anchors recorded)
 and later images as production captures (exclusions re-aligned), matching
-the reference's multi-image workflow.
+the reference's multi-image workflow. `stream` is the deployment-shaped
+flow: decode-ahead native loader + pipelined device dispatch, one JSONL
+verdict line per frame.
 """
 
 from __future__ import annotations
@@ -143,6 +146,64 @@ def cmd_inspect(args):
     print(json.dumps(report))
 
 
+def cmd_stream(args):
+    """Inline inspection of a capture stream (file list), pipelined.
+
+    The deployment-shaped flow: decode-ahead via the native loader, device
+    pipeline dispatched ahead of results, one JSONL line per frame. Anchors
+    come from the grid JSON (v2 exclusion_alignment) when present; otherwise
+    the first frame is treated as the reference capture and its centroids
+    anchor the rest of the stream (the reference tool's first-image-is-
+    reference rule, indexing_ui.py:1196-1208)."""
+    from tpu_inspect.engine import segment_units
+    from tpu_inspect.imageio import load_gray
+    from tpu_inspect.persistence import load_grid
+    from tpu_inspect.streaming import stream_inspect_paths
+    from tpu_inspect.synthetic import crop_units
+
+    doc = load_grid(args.grid)
+    grid = doc.grid_params
+    if grid is None:
+        raise SystemExit(f"grid JSON {args.grid} has no usable geometry")
+
+    frames = list(args.frames)
+    anchors = dict(doc.ref_centroids)
+    if not anchors and doc.exclusions:
+        ref = load_gray(frames[0])
+        anchors = segment_units(
+            crop_units(ref, grid), _seg_params(args)
+        ).centroid_dict()
+        print(f"anchors recorded from reference frame {frames[0]}",
+              file=sys.stderr)
+
+    total_ng = 0
+    for res in stream_inspect_paths(
+        frames,
+        grid,
+        _seg_params(args),
+        _defect_params(args),
+        exclusions=doc.exclusions,
+        ref_centroids=anchors or None,
+        prefetch=args.prefetch,
+        decode_threads=args.decode_threads,
+    ):
+        total_ng += res.ng_count
+        print(
+            json.dumps(
+                {
+                    "frame": frames[res.index],
+                    "index": res.index,
+                    "ng_count": res.ng_count,
+                    "unit_count": int(res.verdicts.shape[0]),
+                    "ng_units": [int(i) for i in np.nonzero(res.verdicts)[0]],
+                }
+            ),
+            flush=True,
+        )
+    print(f"stream done: {len(frames)} frames, {total_ng} unit NGs",
+          file=sys.stderr)
+
+
 def cmd_bench(args):
     import bench
 
@@ -214,6 +275,19 @@ def main(argv=None):
         p.add_argument("--out", default=None)
         _add_param_flags(p)
         p.set_defaults(fn=fn)
+
+    s = sub.add_parser(
+        "stream",
+        help="pipelined inline inspection of a frame stream (JSONL output)",
+    )
+    s.add_argument("--grid", required=True)
+    s.add_argument("frames", nargs="+", help="capture frames, in order")
+    s.add_argument("--prefetch", type=int, default=2,
+                   help="device dispatches kept in flight")
+    s.add_argument("--decode-threads", type=int, default=3,
+                   help="native decode worker threads")
+    _add_param_flags(s)
+    s.set_defaults(fn=cmd_stream)
 
     b = sub.add_parser("bench", help="run the standard benchmark")
     b.set_defaults(fn=cmd_bench)
