@@ -204,6 +204,69 @@ def cmd_stream(args):
           file=sys.stderr)
 
 
+def cmd_profile(args):
+    """Device-profile the standard workload; print per-op totals.
+
+    Runs the fused pipeline on the reference sample workload (48 units of
+    316x315 on 4096x3000) under ``jax.profiler.trace`` and aggregates
+    per-op device time with the first-party xplane reader
+    (tpu_inspect.utils.xprof) — the PERF.md benchmarking methodology as a
+    command."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_inspect.engine import _inspect_image_device, pack_exclusions
+    from tpu_inspect.geometry import grid_origins
+    from tpu_inspect.synthetic import make_mold_image, sample_grid_params
+    from tpu_inspect.utils import xprof
+
+    grid = sample_grid_params()
+    image = jnp.asarray(
+        make_mold_image(grid, (3000, 4096), seed=0, defect_rate=0.3)
+    )
+    origins = grid_origins(grid)
+    u = origins.shape[0]
+    rects, circles = pack_exclusions(
+        [{"shape": "circle", "cx": 160, "cy": 160, "r": 30}]
+    )
+    kw = dict(
+        seg=_seg_params(args),
+        defect=_defect_params(args),
+        is_reference=True,
+        unit_hw=(315, 316),
+        with_defects=True,
+    )
+    fargs = (
+        image,
+        jnp.asarray(origins),
+        jnp.asarray(rects),
+        jnp.asarray(circles),
+        jnp.zeros((u, 2), dtype=jnp.float64),
+        jnp.zeros((u,), dtype=bool),
+    )
+    print(f"compiling on {jax.devices()[0]} ...", file=sys.stderr)
+    jax.block_until_ready(_inspect_image_device(*fargs, **kw))  # warm
+    iters = args.iters
+    with tempfile.TemporaryDirectory(prefix="tpu_inspect_prof") as d:
+        with jax.profiler.trace(d):
+            for _ in range(iters):
+                jax.block_until_ready(_inspect_image_device(*fargs, **kw))
+        ops = xprof.top_ops(d, k=args.top, iters=iters)
+        total = xprof.total_device_ms(d) / iters
+    if not ops:
+        print(
+            "no device plane in trace (host-only platform?); "
+            "run on TPU for per-op device time",
+            file=sys.stderr,
+        )
+        return
+    print(f"device time: {total:.2f} ms/iter over {iters} iters")
+    for name, ms in ops:
+        print(f"  {ms:8.3f} ms  {name}")
+
+
 def cmd_bench(args):
     import bench
 
@@ -291,6 +354,14 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="run the standard benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    pr = sub.add_parser(
+        "profile", help="device-profile the standard workload (per-op table)"
+    )
+    pr.add_argument("--iters", type=int, default=8)
+    pr.add_argument("--top", type=int, default=15)
+    _add_param_flags(pr)
+    pr.set_defaults(fn=cmd_profile)
 
     d = sub.add_parser(
         "doctor", help="print platform / kernel-dispatch / native-IO status"
