@@ -341,20 +341,21 @@ void* tin_loader_create(const char** paths, int32_t n, int32_t capacity,
 }
 
 // Delivers frames strictly in path order. Returns 0 on success (caller owns
-// *data, frees with tin_free), 1 when the stream is exhausted, and the
-// per-frame tin_decode code (>1, *data null) when that frame's native decode
-// declined — the caller decodes that one path itself and keeps streaming.
+// *data, frees with tin_free), -1 when the stream is exhausted (or the
+// loader was stopped), and the per-frame tin_decode code (>0, *data null)
+// when that frame's native decode declined — the caller decodes that one
+// path itself and keeps streaming.
 int tin_loader_next(void* handle, uint8_t** data, int32_t* w, int32_t* h,
                     int32_t* channels, int32_t* bitdepth) {
   Loader* L = (Loader*)handle;
-  if (!L) return 1;
+  if (!L) return -1;
   Frame f;
   {
     std::unique_lock<std::mutex> lk(L->mu);
-    if (L->consumed >= (int32_t)L->paths.size()) return 1;
+    if (L->consumed >= (int32_t)L->paths.size()) return -1;
     L->ready_cv.wait(
         lk, [&] { return L->frames.count(L->consumed) || L->stop; });
-    if (L->stop) return 1;
+    if (L->stop) return -1;
     f = L->frames[L->consumed];
     L->frames.erase(L->consumed);
     L->consumed++;
