@@ -26,6 +26,47 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _claim_device_or_die(metric: str, timeout_s: float = 240.0):
+    """Fail fast (with a well-formed JSON line) when the TPU is unreachable.
+
+    The development TPU sits behind a tunnel whose outages make the first
+    backend touch (jax.devices()) hang indefinitely rather than error. The
+    claim runs in a daemon thread with a deadline; on timeout the bench
+    reports an explicit failure value instead of hanging the driver.
+    """
+    import threading
+
+    import jax
+
+    box = {}
+
+    def claim():
+        try:
+            box["devices"] = jax.devices()
+        except Exception as e:  # backend init error: report, don't hang
+            box["error"] = e
+
+    t = threading.Thread(target=claim, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in box:
+        return box["devices"]
+    reason = box.get("error", f"device claim timed out after {timeout_s:.0f}s")
+    log(f"TPU unavailable: {reason}")
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": float("inf"),
+                "unit": "ms",
+                "vs_baseline": 0.0,
+                "error": f"device unavailable: {reason}",
+            }
+        )
+    )
+    sys.exit(0)
+
+
 def main_config1():
     """BASELINE config 1: one whole-image 4096x3000 crop through the
     segmentation chain (strip-tiled flood kernel). `python bench.py config1`."""
@@ -39,6 +80,7 @@ def main_config1():
     from tpu_inspect import oracle
     from tpu_inspect.synthetic import make_mold_image, sample_grid_params
 
+    _claim_device_or_die("single_unit_4096x3000_segmentation_ms")
     grid = sample_grid_params()
     image = make_mold_image(grid, (3000, 4096), seed=0, defect_rate=0.3)
     seg = SegmentationParams().validated()
@@ -103,6 +145,7 @@ def main():
     from tpu_inspect import oracle
     from tpu_inspect.synthetic import crop_units, make_mold_image, sample_grid_params
 
+    _claim_device_or_die("full_grid_4096x3000_seg_defect_ms_per_image")
     grid = sample_grid_params()
     image = make_mold_image(grid, (3000, 4096), seed=0, defect_rate=0.3)
     origins = grid_origins(grid)
