@@ -67,45 +67,74 @@ def _claim_device_or_die(metric: str, timeout_s: float = 240.0):
     sys.exit(0)
 
 
-def main_config1():
+def main_config1(with_defects: bool = False):
     """BASELINE config 1: one whole-image 4096x3000 crop through the
-    segmentation chain (strip-tiled flood kernel). `python bench.py config1`."""
+    segmentation chain (strip-tiled flood kernel), `python bench.py config1`.
+    With `config1defect` the defect chain (strip-tiled 21x21 median residual
+    + blob filter + verdict) runs on the same whole-image unit too."""
     import cv2
 
     import jax
     import jax.numpy as jnp
 
-    from tpu_inspect.config import SegmentationParams
-    from tpu_inspect.engine import raw_segment
+    from tpu_inspect.config import DefectParams, SegmentationParams
+    from tpu_inspect.engine import _defect_device, raw_segment
     from tpu_inspect import oracle
     from tpu_inspect.synthetic import make_mold_image, sample_grid_params
 
-    _claim_device_or_die("single_unit_4096x3000_segmentation_ms")
+    metric = (
+        "single_unit_4096x3000_seg_defect_ms"
+        if with_defects
+        else "single_unit_4096x3000_segmentation_ms"
+    )
+    _claim_device_or_die(metric)
     grid = sample_grid_params()
     image = make_mold_image(grid, (3000, 4096), seed=0, defect_rate=0.3)
     seg = SegmentationParams().validated()
+    defect = DefectParams().validated()
 
     cv2.setNumThreads(1)
     t0 = time.perf_counter()
     ref = oracle.segment_unit(image, seg)
+    ref_areas = ref_verdicts = None
+    if with_defects:
+        _, ref_areas, ref_verdicts = oracle.inspect_units(
+            image[None], ref[None], defect
+        )
     cpu_ms = (time.perf_counter() - t0) * 1000.0
-    log(f"CPU baseline (1 core, OpenCV segment_cell): {cpu_ms:.1f} ms")
+    log(f"CPU baseline (1 core, OpenCV chain): {cpu_ms:.1f} ms")
+
+    def step(a):
+        m = raw_segment(a, seg)
+        if not with_defects:
+            return m, None
+        _, found, area, verdict = _defect_device(a, m, params=defect)
+        return m, (found, area, verdict)
 
     x = jnp.asarray(image)[None]
-    f = jax.jit(lambda a: raw_segment(a, seg))
+    f = jax.jit(step)
     t0 = time.perf_counter()
     out = jax.block_until_ready(f(x))
     log(f"compile+first: {time.perf_counter() - t0:.1f} s on {jax.devices()[0]}")
-    parity = bool((np.asarray(out[0]) == ref).all())
-    log(f"parity: masks_exact={parity}")
+    parity = bool((np.asarray(out[0][0]) == ref).all())
+    if with_defects:
+        _, area, verdict = (np.asarray(v) for v in out[1])
+        parity = parity and bool(
+            (area == ref_areas).all() and (verdict == ref_verdicts).all()
+        )
+        log(f"defect: area={int(area[0])} NG={bool(verdict[0])}")
+    log(f"parity: exact={parity}")
 
     N = 4
 
     def chained(a):
         def body(i, c):
-            m = raw_segment(c[0], seg)
-            bump = (m.sum(dtype=jnp.int32) & 1).astype(jnp.uint8)
-            return c[0] ^ bump, c[1] + m.sum(dtype=jnp.int32)
+            m, extra = step(c[0])
+            acc = m.sum(dtype=jnp.int32)
+            if extra is not None:
+                acc = acc + extra[1].sum(dtype=jnp.int32)
+            bump = (acc & 1).astype(jnp.uint8)
+            return c[0] ^ bump, c[1] + acc
 
         return jax.lax.fori_loop(0, N, body, (a, jnp.int32(0)))[1]
 
@@ -124,7 +153,7 @@ def main_config1():
     print(
         json.dumps(
             {
-                "metric": "single_unit_4096x3000_segmentation_ms",
+                "metric": metric,
                 "value": round(value, 3),
                 "unit": "ms",
                 "vs_baseline": round(cpu_ms / value, 2) if value > 0 else 0.0,
@@ -264,5 +293,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "config1":
         main_config1()
+    elif len(sys.argv) > 1 and sys.argv[1] == "config1defect":
+        main_config1(with_defects=True)
     else:
         main()
