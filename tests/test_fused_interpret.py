@@ -168,3 +168,71 @@ def test_median_residual_interpret(interp):
         resid = np.abs(x.astype(np.int32) - med.astype(np.int32))
         ref = np.where(resid > thr, 255, 0).astype(np.uint8)
         np.testing.assert_array_equal(out, ref)
+
+
+def test_median_residual_tiled_interpret(interp):
+    """Strip-tiled median-residual stitching (halos, edge replication,
+    batch padding) bit-exact vs cv2 on a plane spanning multiple items.
+    The item envelope is shrunk so interpret mode stays cheap; real-size
+    planes are covered on hardware by tests/test_tpu_kernels.py."""
+    import cv2
+
+    mp = interp["mp"]
+    rng = np.random.RandomState(2)
+    x = rng.randint(0, 256, (2, 70, 81), dtype=np.uint8)
+    k, thr = 9, 24
+    with mock.patch.object(mp, "_ITEM_ENVELOPE", (40, 44)):
+        out = np.asarray(
+            mp.median_residual_mask_tiled(jnp.asarray(x), k, thr, batch=6)
+        )
+    med = np.stack([cv2.medianBlur(im, k) for im in x])
+    resid = np.abs(x.astype(np.int32) - med.astype(np.int32))
+    ref = np.where(resid > thr, 255, 0).astype(np.uint8)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_flood_tiled_interpret():
+    """Strip-tiled reachability flood (halo-exchanging sweeps) vs a host
+    BFS, with the strip height shrunk so several strips + up/down sweep
+    repetitions are exercised in interpret mode."""
+    from collections import deque
+
+    with mock.patch.object(pl, "pallas_call", _interpreted):
+        import tpu_inspect.ops.flood_pallas as fl
+
+        importlib.reload(fl)
+        try:
+            rng = np.random.RandomState(3)
+            # a serpentine domain forces information to cross strips both
+            # directions repeatedly
+            h, w = 60, 33
+            dom = np.ones((h, w), bool)
+            for i, r in enumerate(range(5, h - 5, 6)):
+                if i % 2 == 0:
+                    dom[r, : w - 8] = False
+                else:
+                    dom[r, 8:] = False
+            dom |= rng.rand(h, w) > 0.995
+            seed = np.zeros((h, w), bool)
+            seed[0, :] = dom[0, :]
+            with mock.patch.object(fl, "_strip_height", lambda w: 16):
+                got = np.asarray(
+                    fl.propagate_pallas_tiled(
+                        jnp.asarray(seed[None]), jnp.asarray(dom[None]),
+                        conn8=False,
+                    )
+                )[0]
+            # host BFS oracle (4-connected)
+            ref = np.zeros((h, w), bool)
+            q = deque(zip(*np.nonzero(seed)))
+            ref[seed] = True
+            while q:
+                y, x = q.popleft()
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    ny, nx = y + dy, x + dx
+                    if 0 <= ny < h and 0 <= nx < w and dom[ny, nx] and not ref[ny, nx]:
+                        ref[ny, nx] = True
+                        q.append((ny, nx))
+            np.testing.assert_array_equal(got, ref)
+        finally:
+            importlib.reload(fl)

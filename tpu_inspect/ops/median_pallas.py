@@ -535,6 +535,11 @@ def median_residual_mask_pallas(
 # (e.g. the defect pass on a single whole-image 4096x3000 crop)
 # ---------------------------------------------------------------------------
 
+# The per-item shape the tiling re-cuts planes into: the proven kernel
+# envelope of the 48-unit production workload. Module-level so interpret-
+# mode tests can shrink it to exercise the stitching cheaply.
+_ITEM_ENVELOPE = (315, 316)
+
 
 def median_residual_mask_tiled(
     x: jnp.ndarray, k: int, thr: int, batch: int = 48
@@ -558,7 +563,7 @@ def median_residual_mask_tiled(
     assert k % 2 == 1 and k >= 1
     u, h, w = x.shape
     r = k // 2
-    ih, iw = 315, 316  # the proven kernel envelope
+    ih, iw = _ITEM_ENVELOPE
     if h <= ih and w <= iw:
         # plane already inside the envelope: only the batch count is unsafe.
         # Pad units up to ``batch`` and chunk — no halos or stitching needed.
