@@ -236,3 +236,35 @@ def test_flood_tiled_interpret():
             np.testing.assert_array_equal(got, ref)
         finally:
             importlib.reload(fl)
+
+
+def test_canny_tiled_branch_interpret():
+    """canny_u8 with hysteresis forced onto the strip-tiled flood branch
+    (ops/canny.py _propagate8) must stay cv2-exact off-TPU too."""
+    import cv2
+
+    with mock.patch.object(pl, "pallas_call", _interpreted):
+        import tpu_inspect.ops.flood_pallas as fl
+
+        importlib.reload(fl)
+        try:
+            from tpu_inspect.ops.canny import canny_u8
+
+            rng = np.random.RandomState(12)
+            base = rng.randint(0, 60, (90, 70)).astype(np.uint8)
+            base[20:60, 15:55] += 120
+            base[70:85, 10:60] += rng.randint(0, 80, (15, 50)).astype(np.uint8)
+            with mock.patch.object(fl, "flood_fits", lambda s: False), \
+                 mock.patch.object(fl, "flood_fits_tiled", lambda s: True), \
+                 mock.patch.object(fl, "_strip_height", lambda w: 16):
+                for thr in (24, 80):
+                    lo, hi = max(1, thr // 2), max(2, thr)
+                    ours = np.asarray(
+                        canny_u8(jnp.asarray(base[None]), lo, hi)
+                    )[0]
+                    ref = cv2.Canny(base, lo, hi)
+                    np.testing.assert_array_equal(
+                        ours, ref, err_msg=f"thr={thr}"
+                    )
+        finally:
+            importlib.reload(fl)

@@ -529,3 +529,26 @@ def test_whole_image_defect_parity():
     else:
         assert bool(insp.valid[0])
         np.testing.assert_array_equal(insp.defect_masks[0], o_dm)
+
+
+def test_canny_whole_image_tiled_path():
+    """canny_u8 on a crop beyond the resident flood budget: hysteresis takes
+    the strip-tiled propagate (ops/canny.py _propagate8) and must stay
+    cv2-exact (indexing_ui.py:1536-1539 semantics)."""
+    import cv2
+
+    from tpu_inspect.ops.canny import canny_u8
+    from tpu_inspect.ops.flood_pallas import flood_fits, flood_fits_tiled
+
+    shape = (1, 700, 1024)
+    assert not flood_fits(shape), "shape no longer exercises the tiled path"
+    assert flood_fits_tiled(shape)
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 60, (700, 1024)).astype(np.uint8)
+    base[140:420, 200:800] += 120  # strong structure spanning strips
+    base[500:, 100:300] += rng.randint(0, 90, (200, 200)).astype(np.uint8)
+    for thr in (24, 80):
+        lo, hi = max(1, thr // 2), max(2, thr)
+        ours = np.asarray(canny_u8(jnp.asarray(base[None]), lo, hi))[0]
+        ref = cv2.Canny(base, lo, hi)
+        np.testing.assert_array_equal(ours, ref, err_msg=f"thr={thr}")

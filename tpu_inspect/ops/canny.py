@@ -48,11 +48,20 @@ def _sobel3(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 def _propagate8(seed: jnp.ndarray, domain: jnp.ndarray) -> jnp.ndarray:
     """8-connected reachability of `seed` through `domain` (batched fixpoint)."""
-    from tpu_inspect.ops.flood_pallas import flood_fits, propagate_pallas
+    from tpu_inspect.ops.flood_pallas import (
+        flood_fits,
+        flood_fits_tiled,
+        propagate_pallas,
+        propagate_pallas_tiled,
+    )
     from tpu_inspect.ops.hole_fill import _axis_sweep
 
     if flood_fits(seed.shape):
         return propagate_pallas(seed, domain, conn8=True)
+    if flood_fits_tiled(seed.shape):
+        # whole-image crops: halo-exchanging strip sweeps instead of the
+        # HBM-round-tripping XLA fixpoint below
+        return propagate_pallas_tiled(seed, domain, conn8=True)
 
     def dilate8(m):
         p = jnp.pad(m, ((0, 0), (1, 1), (1, 1)))
