@@ -22,6 +22,27 @@ import time
 import numpy as np
 
 
+def _emit(metric: str, value_ms, cpu_ms: float, error: str | None = None):
+    """Print THE one JSON line. Failed runs report value null (legal JSON)
+    plus an error string, never Infinity/NaN."""
+    rec = {"metric": metric, "unit": "ms"}
+    if value_ms is None or not (value_ms == value_ms) or value_ms in (
+        float("inf"),
+        float("-inf"),
+    ):
+        rec["value"] = None
+        rec["vs_baseline"] = 0.0
+        rec["error"] = error or "parity gate failed"
+    else:
+        rec["value"] = round(float(value_ms), 3)
+        rec["vs_baseline"] = (
+            round(cpu_ms / value_ms, 2) if value_ms > 0 else 0.0
+        )
+        if error:
+            rec["error"] = error
+    print(json.dumps(rec))
+
+
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
@@ -53,17 +74,7 @@ def _claim_device_or_die(metric: str, timeout_s: float = 240.0):
         return box["devices"]
     reason = box.get("error", f"device claim timed out after {timeout_s:.0f}s")
     log(f"TPU unavailable: {reason}")
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": float("inf"),
-                "unit": "ms",
-                "vs_baseline": 0.0,
-                "error": f"device unavailable: {reason}",
-            }
-        )
-    )
+    _emit(metric, None, 0.0, error=f"device unavailable: {reason}")
     sys.exit(0)
 
 
@@ -80,7 +91,7 @@ def main_config1(with_defects: bool = False):
     from tpu_inspect.config import DefectParams, SegmentationParams
     from tpu_inspect.engine import _defect_device, raw_segment
     from tpu_inspect import oracle
-    from tpu_inspect.synthetic import make_mold_image, sample_grid_params
+    from tpu_inspect.synthetic import standard_workload
 
     metric = (
         "single_unit_4096x3000_seg_defect_ms"
@@ -88,8 +99,7 @@ def main_config1(with_defects: bool = False):
         else "single_unit_4096x3000_segmentation_ms"
     )
     _claim_device_or_die(metric)
-    grid = sample_grid_params()
-    image = make_mold_image(grid, (3000, 4096), seed=0, defect_rate=0.3)
+    image = standard_workload()["image"]
     seg = SegmentationParams().validated()
     defect = DefectParams().validated()
 
@@ -149,17 +159,7 @@ def main_config1(with_defects: bool = False):
         times.append((time.perf_counter() - t0) * 1000.0 / N)
     tpu_ms = float(np.median(times))
     log(f"TPU steady-state: {tpu_ms:.2f} ms (min {min(times):.2f})")
-    value = tpu_ms if parity else float("inf")
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 3),
-                "unit": "ms",
-                "vs_baseline": round(cpu_ms / value, 2) if value > 0 else 0.0,
-            }
-        )
-    )
+    _emit(metric, tpu_ms if parity else None, cpu_ms)
 
 
 def main():
@@ -169,18 +169,16 @@ def main():
     import jax.numpy as jnp
 
     from tpu_inspect.config import DefectParams, SegmentationParams
-    from tpu_inspect.engine import _inspect_image_device, pack_exclusions
-    from tpu_inspect.geometry import grid_origins
+    from tpu_inspect.engine import _inspect_image_device
     from tpu_inspect import oracle
-    from tpu_inspect.synthetic import crop_units, make_mold_image, sample_grid_params
+    from tpu_inspect.synthetic import crop_units, standard_workload
 
     _claim_device_or_die("full_grid_4096x3000_seg_defect_ms_per_image")
-    grid = sample_grid_params()
-    image = make_mold_image(grid, (3000, 4096), seed=0, defect_rate=0.3)
-    origins = grid_origins(grid)
+    wl = standard_workload()
+    grid, image, origins = wl["grid"], wl["image"], wl["origins"]
     u = origins.shape[0]
-    exclusions = [{"shape": "circle", "cx": 160, "cy": 160, "r": 30}]
-    rects, circles = pack_exclusions(exclusions)
+    exclusions = wl["exclusions"]
+    rects, circles = wl["rects"], wl["circles"]
     seg = SegmentationParams().validated()
     defect = DefectParams().validated()
 
@@ -200,14 +198,14 @@ def main():
         jnp.asarray(origins),
         jnp.asarray(rects),
         jnp.asarray(circles),
-        jnp.zeros((u, 2), dtype=jnp.float64),
-        jnp.zeros((u,), dtype=bool),
+        jnp.asarray(wl["ref_centroids"]),
+        jnp.asarray(wl["ref_valid"]),
     )
     kw = dict(
         seg=seg,
         defect=defect,
         is_reference=True,
-        unit_hw=(315, 316),
+        unit_hw=wl["unit_hw"],
         with_defects=True,
     )
 
@@ -277,16 +275,10 @@ def main():
     log(f"TPU steady-state: {tpu_ms:.2f} ms/image (chained x{N}, "
         f"min {min(times):.2f})")
 
-    value = tpu_ms if (iou_exact and verdict_ok) else float("inf")
-    print(
-        json.dumps(
-            {
-                "metric": "full_grid_4096x3000_seg_defect_ms_per_image",
-                "value": round(value, 3),
-                "unit": "ms",
-                "vs_baseline": round(cpu_ms / value, 2) if value > 0 else 0.0,
-            }
-        )
+    _emit(
+        "full_grid_4096x3000_seg_defect_ms_per_image",
+        tpu_ms if (iou_exact and verdict_ok) else None,
+        cpu_ms,
     )
 
 

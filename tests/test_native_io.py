@@ -202,3 +202,24 @@ def test_stream_loader_unreadable_file_yields_none(lib_ok, tmp_path):
     missing = str(tmp_path / "never_written.png")
     out = list(native.StreamLoader([missing]))
     assert out == [None]
+
+
+def test_stream_loader_close_while_iterating(lib_ok, tmp_path):
+    """close() with the iterator suspended must yield None for the rest,
+    never touch the destroyed native loader."""
+    imgs = [
+        np.random.RandomState(20 + i).randint(0, 256, (6, 7), dtype=np.uint8)
+        for i in range(4)
+    ]
+    paths = []
+    for i, img in enumerate(imgs):
+        p = str(tmp_path / f"cl{i}.png")
+        assert cv2.imwrite(p, img)
+        paths.append(p)
+    ldr = native.StreamLoader(paths, capacity=2, threads=2)
+    it = iter(ldr)
+    first = next(it)
+    np.testing.assert_array_equal(first, imgs[0])
+    ldr.close()
+    rest = list(it)
+    assert rest == [None, None, None]

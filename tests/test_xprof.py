@@ -86,3 +86,13 @@ def test_varint_and_fields_roundtrip():
 def test_malformed_varint_raises():
     with pytest.raises(ValueError):
         list(xprof._fields(bytes([0x08] + [0x80] * 11)))
+
+
+def test_truncated_file_raises_cleanly():
+    # a length-delimited field whose declared size overruns the buffer
+    bad = bytes([0x0A, 0x10, 0x01, 0x02])  # field1, len16, only 2 bytes
+    with pytest.raises(ValueError):
+        list(xprof._fields(bad))
+    # varint cut mid-byte-sequence
+    with pytest.raises(ValueError):
+        list(xprof._fields(bytes([0x08, 0x80])))

@@ -155,10 +155,12 @@ def cmd_stream(args):
     the first frame is treated as the reference capture and its centroids
     anchor the rest of the stream (the reference tool's first-image-is-
     reference rule, indexing_ui.py:1196-1208)."""
+    from itertools import chain
+
     from tpu_inspect.engine import segment_units
-    from tpu_inspect.imageio import load_gray
+    from tpu_inspect.imageio import load_gray, load_gray_stream
     from tpu_inspect.persistence import load_grid
-    from tpu_inspect.streaming import stream_inspect_paths
+    from tpu_inspect.streaming import stream_inspect
     from tpu_inspect.synthetic import crop_units
 
     doc = load_grid(args.grid)
@@ -168,6 +170,7 @@ def cmd_stream(args):
 
     frames = list(args.frames)
     anchors = dict(doc.ref_centroids)
+    ref = None
     if not anchors and doc.exclusions:
         ref = load_gray(frames[0])
         anchors = segment_units(
@@ -176,16 +179,24 @@ def cmd_stream(args):
         print(f"anchors recorded from reference frame {frames[0]}",
               file=sys.stderr)
 
+    # frame 0 decoded for anchors feeds the stream directly (no re-decode);
+    # the rest come through the native decode-ahead loader
+    if ref is not None:
+        images = chain(
+            [ref], load_gray_stream(frames[1:], threads=args.decode_threads)
+        )
+    else:
+        images = load_gray_stream(frames, threads=args.decode_threads)
+
     total_ng = 0
-    for res in stream_inspect_paths(
-        frames,
+    for res in stream_inspect(
+        images,
         grid,
         _seg_params(args),
         _defect_params(args),
         exclusions=doc.exclusions,
         ref_centroids=anchors or None,
         prefetch=args.prefetch,
-        decode_threads=args.decode_threads,
     ):
         total_ng += res.ng_count
         print(
@@ -217,34 +228,25 @@ def cmd_profile(args):
     import jax
     import jax.numpy as jnp
 
-    from tpu_inspect.engine import _inspect_image_device, pack_exclusions
-    from tpu_inspect.geometry import grid_origins
-    from tpu_inspect.synthetic import make_mold_image, sample_grid_params
+    from tpu_inspect.engine import _inspect_image_device
+    from tpu_inspect.synthetic import standard_workload
     from tpu_inspect.utils import xprof
 
-    grid = sample_grid_params()
-    image = jnp.asarray(
-        make_mold_image(grid, (3000, 4096), seed=0, defect_rate=0.3)
-    )
-    origins = grid_origins(grid)
-    u = origins.shape[0]
-    rects, circles = pack_exclusions(
-        [{"shape": "circle", "cx": 160, "cy": 160, "r": 30}]
-    )
+    wl = standard_workload()
     kw = dict(
         seg=_seg_params(args),
         defect=_defect_params(args),
         is_reference=True,
-        unit_hw=(315, 316),
+        unit_hw=wl["unit_hw"],
         with_defects=True,
     )
     fargs = (
-        image,
-        jnp.asarray(origins),
-        jnp.asarray(rects),
-        jnp.asarray(circles),
-        jnp.zeros((u, 2), dtype=jnp.float64),
-        jnp.zeros((u,), dtype=bool),
+        jnp.asarray(wl["image"]),
+        jnp.asarray(wl["origins"]),
+        jnp.asarray(wl["rects"]),
+        jnp.asarray(wl["circles"]),
+        jnp.asarray(wl["ref_centroids"]),
+        jnp.asarray(wl["ref_valid"]),
     )
     print(f"compiling on {jax.devices()[0]} ...", file=sys.stderr)
     jax.block_until_ready(_inspect_image_device(*fargs, **kw))  # warm
@@ -253,8 +255,10 @@ def cmd_profile(args):
         with jax.profiler.trace(d):
             for _ in range(iters):
                 jax.block_until_ready(_inspect_image_device(*fargs, **kw))
-        ops = xprof.top_ops(d, k=args.top, iters=iters)
-        total = xprof.total_device_ms(d) / iters
+        totals = xprof.device_op_totals(d)
+    ranked = sorted(totals.items(), key=lambda kv: kv[1], reverse=True)
+    ops = [(name, ms / iters) for name, ms in ranked[: args.top]]
+    total = sum(totals.values()) / iters
     if not ops:
         print(
             "no device plane in trace (host-only platform?); "

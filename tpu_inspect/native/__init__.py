@@ -127,19 +127,24 @@ def decode(path: str) -> np.ndarray | None:
     )
     if rc != 0:
         return None
+    return _unpack_frame(lib, data, w.value, h.value, ch.value, depth.value)
+
+
+def _unpack_frame(lib, data, w: int, h: int, ch: int, depth: int) -> np.ndarray:
+    """Copy a tin-owned pixel buffer into a numpy array and free it."""
     try:
-        nbytes = h.value * w.value * ch.value * (depth.value // 8)
+        nbytes = h * w * ch * (depth // 8)
         raw = ctypes.cast(
             data, ctypes.POINTER(ctypes.c_uint8 * nbytes)
         ).contents
         arr = np.frombuffer(
-            raw, dtype=np.uint8 if depth.value == 8 else np.uint16
+            raw, dtype=np.uint8 if depth == 8 else np.uint16
         ).copy()
     finally:
         lib.tin_free(data)
-    if ch.value == 1:
-        return arr.reshape(h.value, w.value)
-    return arr.reshape(h.value, w.value, ch.value)
+    if ch == 1:
+        return arr.reshape(h, w)
+    return arr.reshape(h, w, ch)
 
 
 def encode_png_gray(path: str, img: np.ndarray) -> bool:
@@ -194,19 +199,21 @@ class StreamLoader:
         return len(self._paths)
 
     def __iter__(self):
-        lib, handle = self._lib, self._handle
-        if handle is None:
-            for _ in self._paths:
-                yield None
-            return
         try:
             for _ in self._paths:
+                # re-read the handle each step: close() while the iterator
+                # is suspended must degrade to None frames, never touch a
+                # destroyed loader
+                handle = self._handle
+                if handle is None:
+                    yield None
+                    continue
                 data = ctypes.POINTER(ctypes.c_uint8)()
                 w = ctypes.c_int32()
                 h = ctypes.c_int32()
                 ch = ctypes.c_int32()
                 depth = ctypes.c_int32()
-                rc = lib.tin_loader_next(
+                rc = self._lib.tin_loader_next(
                     handle,
                     ctypes.byref(data),
                     ctypes.byref(w),
@@ -217,20 +224,9 @@ class StreamLoader:
                 if rc != 0:
                     yield None
                     continue
-                try:
-                    nbytes = h.value * w.value * ch.value * (depth.value // 8)
-                    raw = ctypes.cast(
-                        data, ctypes.POINTER(ctypes.c_uint8 * nbytes)
-                    ).contents
-                    out = np.frombuffer(
-                        raw, dtype=np.uint8 if depth.value == 8 else np.uint16
-                    ).copy()
-                finally:
-                    lib.tin_free(data)
-                if ch.value == 1:
-                    yield out.reshape(h.value, w.value)
-                else:
-                    yield out.reshape(h.value, w.value, ch.value)
+                yield _unpack_frame(
+                    self._lib, data, w.value, h.value, ch.value, depth.value
+                )
         finally:
             self.close()
 

@@ -112,3 +112,35 @@ def random_blob_mask(
         v = -dx * np.sin(ang) + dy * np.cos(ang)
         out[(u / rx) ** 2 + (v / ry) ** 2 <= 1.0] = 255
     return out
+
+
+def standard_workload():
+    """The benchmark/profile standard workload, defined once.
+
+    The reference sample geometry (grid.json: 48 units of 316x315 on a
+    4096x3000 image) with one circle exclusion — shared by bench.py and
+    the `cli profile` subcommand so both always measure the same program.
+
+    Returns a dict with the raw image, grid, unit origins, the exclusion
+    list, and the packed device arrays _inspect_image_device takes.
+    """
+    from tpu_inspect.engine import pack_exclusions
+    from tpu_inspect.geometry import grid_origins
+
+    grid = sample_grid_params()
+    image = make_mold_image(grid, (3000, 4096), seed=0, defect_rate=0.3)
+    origins = grid_origins(grid)
+    u = origins.shape[0]
+    exclusions = [{"shape": "circle", "cx": 160, "cy": 160, "r": 30}]
+    rects, circles = pack_exclusions(exclusions)
+    return {
+        "grid": grid,
+        "image": image,
+        "origins": origins,
+        "exclusions": exclusions,
+        "rects": rects,
+        "circles": circles,
+        "ref_centroids": np.zeros((u, 2), dtype=np.float64),
+        "ref_valid": np.zeros((u,), dtype=bool),
+        "unit_hw": (315, 316),
+    }

@@ -36,7 +36,10 @@ from dataclasses import dataclass, field
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     result = 0
     shift = 0
+    n = len(buf)
     while True:
+        if pos >= n:
+            raise ValueError("truncated varint")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -62,12 +65,18 @@ def _fields(buf: bytes):
             val, pos = _read_varint(buf, pos)
         elif wt == 2:
             ln, pos = _read_varint(buf, pos)
+            if pos + ln > n:
+                raise ValueError("truncated length-delimited field")
             val = buf[pos : pos + ln]
             pos += ln
         elif wt == 1:
+            if pos + 8 > n:
+                raise ValueError("truncated fixed64 field")
             val = buf[pos : pos + 8]
             pos += 8
         elif wt == 5:
+            if pos + 4 > n:
+                raise ValueError("truncated fixed32 field")
             val = buf[pos : pos + 4]
             pos += 4
         else:
@@ -198,6 +207,11 @@ def device_op_totals(
     host planes, whose lines are named per thread). Returns {} when no
     trace or no matching plane exists (e.g. pure-host runs with the default
     selectors).
+
+    Note on host planes: host TraceMe spans NEST, and each event's full
+    duration is summed independently, so host totals are *inclusive* times
+    (a parent plus its children double-counts) — use them to rank, not to
+    add. The device "XLA Ops" line is flat, so device totals are additive.
     """
     files = find_xplane_files(trace_dir)
     if not files:
