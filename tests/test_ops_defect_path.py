@@ -139,3 +139,47 @@ def test_largest_component_random_ties_match_cv2():
         best = 1 + int(np.argmax(stats[1:, cv2.CC_STAT_AREA]))
         mask, _, _, _ = cc.largest_component(jnp.asarray(img[None] > 0))
         np.testing.assert_array_equal(np.asarray(mask[0]), labels == best)
+
+
+def test_tile_seeded_labeling_exact():
+    """Whole-image-class labeling: the fixpoint seeded from per-tile
+    labelings (ops/cc.py _tile_seeded_init) must converge to exactly the
+    classic raster-first labels, including components snaking across many
+    tiles and fragments whose tile-local first pixel is not the global
+    first."""
+    import jax.numpy as jnp
+
+    from tpu_inspect.ops import cc
+
+    rng = np.random.RandomState(7)
+    fg = rng.rand(2, 37, 53) > 0.55
+    # serpentine spanning all tiles
+    fg[0, ::6, :] = True
+    fg[0, 3::6, ::2] = False
+    fg[1, :, ::7] = True
+    classic = np.asarray(cc.label_components(jnp.asarray(fg)))
+    for tile in [(8, 16), (16, 8), (37, 53), (5, 5)]:
+        init = cc._tile_seeded_init(jnp.asarray(fg), tile_hw=tile)
+        seeded = np.asarray(cc._xla_label_fixpoint(jnp.asarray(fg), init))
+        np.testing.assert_array_equal(seeded, classic, err_msg=f"tile={tile}")
+
+
+def test_tile_seeded_init_is_valid_upper_bound():
+    """Each seeded init label must be a member pixel's raster index of the
+    same fragment (>= the final label, < h*w, bg = sentinel)."""
+    import jax.numpy as jnp
+
+    from tpu_inspect.ops import cc
+
+    rng = np.random.RandomState(8)
+    fg = rng.rand(1, 21, 30) > 0.5
+    init = np.asarray(cc._tile_seeded_init(jnp.asarray(fg), tile_hw=(6, 7)))
+    final = np.asarray(cc.label_components(jnp.asarray(fg)))
+    h, w = fg.shape[1:]
+    assert (init[~fg] == cc._BIG).all()
+    assert (init[fg] < h * w).all()
+    assert (init[fg] >= final[fg]).all()
+    # every init label is itself a foreground pixel of the same component
+    ys, xs = np.divmod(init[fg], w)
+    assert fg[0][ys, xs].all()
+    assert (final[0][ys, xs] == final[fg]).all()

@@ -76,14 +76,77 @@ def _nbhd_min(vals: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+_TILE_HW = (315, 316)  # the proven resident-kernel envelope (48-unit batch)
+
+
+def _tile_seeded_init(fg: jnp.ndarray, tile_hw: tuple[int, int] = _TILE_HW):
+    """Init labels for the global fixpoint from per-tile labelings.
+
+    Whole-image planes (BASELINE config 1) exceed the resident kernel's
+    VMEM budget, but each 315x316 tile is exactly the production envelope:
+    label every tile independently (re-batched through label_components,
+    so the resident Pallas kernel does the pixel-level work on TPU), then
+    globalize tile labels to y*w+x of each fragment's tile-raster-first
+    pixel. The global XLA fixpoint then only resolves cross-tile merges —
+    a few row/col sweeps — instead of propagating at pixel level.
+
+    Exactness: the fixpoint limit is min-over-component of the init
+    labels. A component's raster-first pixel p is also the tile-raster
+    first of its own fragment (local order (ly,lx) preserves global (y,x)
+    lex order within a tile), so p's fragment init label is y(p)*w+x(p);
+    every other fragment-first q has y(q)*w+x(q) >= that. The limit is
+    therefore the component's raster-first index — identical to the
+    classic y*w+x init.
+    """
+    u, h, w = fg.shape
+    th, tw = tile_hw
+    nh, nw = -(-h // th), -(-w // tw)
+    fgp = jnp.pad(fg, ((0, 0), (0, nh * th - h), (0, nw * tw - w)))
+    tiles = (
+        fgp.reshape(u, nh, th, nw, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(u * nh * nw, th, tw)
+    )
+    ch = 48  # the proven batch count; one compiled kernel serves every chunk
+    t = tiles.shape[0]
+    pad = (-t) % ch
+    if pad:
+        tiles = jnp.concatenate(
+            [tiles, jnp.zeros((pad, th, tw), tiles.dtype)], axis=0
+        )
+    labs = jnp.concatenate(
+        [
+            label_components(tiles[i : i + ch])
+            for i in range(0, tiles.shape[0], ch)
+        ],
+        axis=0,
+    )[:t]
+    tidx = jnp.arange(t, dtype=jnp.int32)
+    ty = (tidx % (nh * nw)) // nw
+    tx = tidx % nw
+    ly = labs // tw
+    lx = labs % tw
+    gy = ty[:, None, None] * th + ly
+    gx = tx[:, None, None] * tw + lx
+    gl = jnp.where(labs >= jnp.int32(th * tw), _BIG, gy * w + gx)
+    init = (
+        gl.reshape(u, nh, nw, th, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(u, nh * th, nw * tw)[:, :h, :w]
+    )
+    return jnp.where(fg, init, _BIG)
+
+
 def label_components(fg: jnp.ndarray, plan: str = "crc") -> jnp.ndarray:
     """fg: [U, H, W] bool -> int32 root labels (y*W+x of raster-first pixel).
 
     Background pixels get _BIG (2^30). Dispatches to the VMEM-resident
     Pallas fixpoint on TPU when shapes fit (~10x faster than the XLA
-    while-loop, which round-trips HBM every iteration). ``plan`` is the
-    Pallas kernel's sweep-plan perf hint (result-invariant): "crc" for
-    large blob masks, "rc" for sparse specks.
+    while-loop, which round-trips HBM every iteration); planes beyond the
+    budget (whole-image crops) seed the XLA fixpoint from per-tile resident
+    labelings (_tile_seeded_init). ``plan`` is the Pallas kernel's
+    sweep-plan perf hint (result-invariant): "crc" for large blob masks,
+    "rc" for sparse specks.
     """
     u, h, w = fg.shape
     hw = h * w
@@ -99,9 +162,20 @@ def label_components(fg: jnp.ndarray, plan: str = "crc") -> jnp.ndarray:
         from tpu_inspect.ops.cc_pallas import label_components_pallas
 
         return label_components_pallas(fg, plan=plan)
-    yy = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 1)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 2)
-    init = jnp.where(fg, yy * w + xx, _BIG)
+    if on_tpu and h * w > _TILE_HW[0] * _TILE_HW[1]:
+        # whole-image class: pixel-level labeling per tile on the resident
+        # kernel, cross-tile resolution in the XLA sweeps below
+        init = _tile_seeded_init(fg)
+    else:
+        yy = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 1)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 2)
+        init = jnp.where(fg, yy * w + xx, _BIG)
+    return _xla_label_fixpoint(fg, init)
+
+
+def _xla_label_fixpoint(fg: jnp.ndarray, init: jnp.ndarray) -> jnp.ndarray:
+    """Min-label propagation to fixpoint (3x3 min + row/col segmented
+    cummin sweeps per iteration). Limit = per-component min of init."""
 
     def cond(state):
         _, changed = state
