@@ -223,3 +223,35 @@ def test_stream_loader_close_while_iterating(lib_ok, tmp_path):
     ldr.close()
     rest = list(it)
     assert rest == [None, None, None]
+
+
+def test_stream_loader_stress_many_small(lib_ok, tmp_path):
+    """Tight bound (capacity=1) with more workers than slots: no deadlock,
+    order preserved over many frames."""
+    rng = np.random.RandomState(30)
+    paths, refs = [], []
+    for i in range(60):
+        img = rng.randint(0, 256, (5 + (i % 7), 6), dtype=np.uint8)
+        p = str(tmp_path / f"st{i:03d}.png")
+        assert cv2.imwrite(p, img)
+        paths.append(p)
+        refs.append(img)
+    out = list(native.StreamLoader(paths, capacity=1, threads=8))
+    assert len(out) == 60
+    for got, ref in zip(out, refs):
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_stream_loader_destroy_without_consuming(lib_ok, tmp_path):
+    """close() immediately after creation (workers possibly mid-decode)
+    must join cleanly and free buffered frames."""
+    rng = np.random.RandomState(31)
+    paths = []
+    for i in range(8):
+        img = rng.randint(0, 256, (64, 64), dtype=np.uint8)
+        p = str(tmp_path / f"dw{i}.png")
+        assert cv2.imwrite(p, img)
+        paths.append(p)
+    for _ in range(5):  # repeat to give races a chance
+        ldr = native.StreamLoader(paths, capacity=4, threads=4)
+        ldr.close()
