@@ -162,6 +162,70 @@ def main_config1(with_defects: bool = False):
     _emit(metric, tpu_ms if parity else None, cpu_ms)
 
 
+def main_stream():
+    """BASELINE config 5: steady-state streaming throughput.
+
+    Feeds N distinct synthetic frames through streaming.stream_inspect
+    (pipelined dispatch, verdicts fetched per frame) and reports wall-clock
+    ms/frame after warmup. Includes host->device transfer and dispatch —
+    the number a production camera loop sees — so through the development
+    tunnel it is an upper bound on what co-located hardware achieves
+    (device time per image is the main bench's chained metric)."""
+    import cv2
+
+    from tpu_inspect.config import DefectParams, SegmentationParams
+    from tpu_inspect import oracle
+    from tpu_inspect.streaming import stream_inspect
+    from tpu_inspect.synthetic import (
+        crop_units,
+        make_mold_image,
+        standard_workload,
+    )
+
+    metric = "stream_4096x3000_wall_ms_per_frame"
+    _claim_device_or_die(metric)
+    wl = standard_workload()
+    grid = wl["grid"]
+    seg = SegmentationParams().validated()
+    defect = DefectParams().validated()
+    n_warm, n_meas = 4, 12
+    frames = [wl["image"]] + [
+        make_mold_image(grid, (3000, 4096), seed=s, defect_rate=0.3)
+        for s in range(1, n_warm + n_meas)
+    ]
+
+    # CPU baseline: one frame through the reference chain
+    cv2.setNumThreads(1)
+    crops = crop_units(frames[0], grid)
+    t0 = time.perf_counter()
+    masks, _, _ = oracle.segment_all_units(
+        crops, seg, exclusions=wl["exclusions"]
+    )
+    _, ref_areas, ref_verdicts = oracle.inspect_units(crops, masks, defect)
+    cpu_ms = (time.perf_counter() - t0) * 1000.0
+    log(f"CPU baseline (1 core, OpenCV): {cpu_ms:.1f} ms/frame")
+
+    results = []
+    t_mark = None
+    stream = stream_inspect(
+        frames, grid, seg, defect, exclusions=wl["exclusions"], prefetch=2
+    )
+    for i, res in enumerate(stream):
+        results.append(res)
+        if i == n_warm - 1:
+            t_mark = time.perf_counter()
+    wall_ms = (time.perf_counter() - t_mark) * 1000.0 / n_meas
+    parity = bool(
+        (results[0].verdicts == ref_verdicts).all()
+        and (results[0].areas == ref_areas).all()
+    )
+    log(
+        f"stream: {len(results)} frames, {wall_ms:.2f} ms/frame wall "
+        f"(parity on frame 0: {parity})"
+    )
+    _emit(metric, wall_ms if parity else None, cpu_ms)
+
+
 def main():
     import cv2
 
@@ -287,5 +351,7 @@ if __name__ == "__main__":
         main_config1()
     elif len(sys.argv) > 1 and sys.argv[1] == "config1defect":
         main_config1(with_defects=True)
+    elif len(sys.argv) > 1 and sys.argv[1] == "stream":
+        main_stream()
     else:
         main()
