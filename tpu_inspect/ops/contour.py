@@ -141,7 +141,12 @@ def select_blobs(analysis: BlobAnalysis, keep: jnp.ndarray) -> jnp.ndarray:
     regions — a couple of cheap sweep iterations instead of a per-pixel
     [U, H*W] gather (TPU gathers at that size are ~100x slower).
     """
-    from tpu_inspect.ops.flood_pallas import flood_fits, propagate_pallas
+    from tpu_inspect.ops.flood_pallas import (
+        flood_fits,
+        flood_fits_tiled,
+        propagate_pallas,
+        propagate_pallas_tiled,
+    )
     from tpu_inspect.ops.hole_fill import _axis_sweep
 
     u, h, w = analysis.fill_mask.shape
@@ -149,6 +154,9 @@ def select_blobs(analysis: BlobAnalysis, keep: jnp.ndarray) -> jnp.ndarray:
     seeds = (keep & analysis.is_root).reshape(u, h, w)
     if flood_fits((u, h, w)):
         return propagate_pallas(seeds, fill, conn8=True)
+    if flood_fits_tiled((u, h, w)):
+        # whole-image planes: halo-exchanging strip sweeps
+        return propagate_pallas_tiled(seeds, fill, conn8=True)
 
     def dilate8(m):
         p = jnp.pad(m, ((0, 0), (1, 1), (1, 1)))
@@ -304,10 +312,17 @@ def filter_and_select(
         kv[:, :-1, :-1] | kv[:, :-1, 1:] | kv[:, 1:, :-1] | kv[:, 1:, 1:]
     )
 
-    from tpu_inspect.ops.flood_pallas import flood_fits, propagate_pallas
+    from tpu_inspect.ops.flood_pallas import (
+        flood_fits,
+        flood_fits_tiled,
+        propagate_pallas,
+        propagate_pallas_tiled,
+    )
 
     if flood_fits((u, h, w)):
         out = propagate_pallas(seeds, fill, conn8=True)
+    elif flood_fits_tiled((u, h, w)):
+        out = propagate_pallas_tiled(seeds, fill, conn8=True)
     else:
         def dilate8(m):
             p = jnp.pad(m, ((0, 0), (1, 1), (1, 1)))
