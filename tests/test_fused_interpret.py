@@ -268,3 +268,60 @@ def test_canny_tiled_branch_interpret():
                     )
         finally:
             importlib.reload(fl)
+
+
+def test_whole_image_defect_path_composed_interpret():
+    """The whole-image defect chain END TO END with every tiled branch
+    forced (strip-tiled flood everywhere, envelope-re-batched tiled
+    median) in interpret mode, against the OpenCV oracle — the exact
+    composition the TPU runs for BASELINE config 1's defect pass, modulo
+    Mosaic lowering (tests/test_tpu_kernels.py) and CC tile-seeding
+    (proven exactly equal in test_ops_defect_path.py)."""
+    with mock.patch.object(pl, "pallas_call", _interpreted):
+        import tpu_inspect.ops.flood_pallas as fl
+        import tpu_inspect.ops.median_pallas as mp
+
+        importlib.reload(fl)
+        importlib.reload(mp)
+        try:
+            from tpu_inspect import oracle
+            from tpu_inspect.config import DefectParams, GridParams
+            from tpu_inspect.engine import _defect_device
+            from tpu_inspect.synthetic import make_mold_image
+
+            grid = GridParams(base_unit=(20, 18, 360, 310), units_x=1, units_y=1)
+            image = make_mold_image(grid, (350, 400), seed=3, defect_rate=1.0)
+            from tpu_inspect.config import SegmentationParams
+
+            seg_mask = oracle.segment_unit(image, SegmentationParams())
+            params = DefectParams(min_area=8, erode_px=3).validated()
+            ref_masks, ref_areas, ref_verdicts = oracle.inspect_units(
+                image[None], seg_mask[None], params
+            )
+
+            with mock.patch.object(fl, "flood_fits", lambda s: False), \
+                 mock.patch.object(fl, "flood_fits_tiled", lambda s: True), \
+                 mock.patch.object(fl, "_strip_height", lambda w: 64), \
+                 mock.patch.object(mp, "median_fits", lambda s: False), \
+                 mock.patch.object(mp, "median_fits_tiled", lambda s: True), \
+                 mock.patch.object(mp, "_ITEM_ENVELOPE", (100, 110)):
+                out, found, area, verdict = (
+                    np.asarray(v)
+                    for v in _defect_device(
+                        jnp.asarray(image[None]),
+                        jnp.asarray(seg_mask[None]),
+                        params=params,
+                    )
+                )
+            np.testing.assert_array_equal(area, ref_areas)
+            np.testing.assert_array_equal(verdict, ref_verdicts)
+            ref_mask0 = ref_masks[0]
+            got_mask0 = out[0] if found[0] else None
+            if ref_mask0 is None:
+                assert got_mask0 is None or not got_mask0.any()
+            else:
+                np.testing.assert_array_equal(got_mask0, ref_mask0)
+            assert area[0] > 0  # defect_rate=1.0 must detect something
+        finally:
+            importlib.reload(fl)
+            importlib.reload(mp)
