@@ -85,3 +85,16 @@ def test_stream_inspect_paths_matches_in_memory(tmp_path):
     for a, b in zip(file, mem):
         np.testing.assert_array_equal(a.verdicts, b.verdicts)
         np.testing.assert_array_equal(a.areas, b.areas)
+
+
+def test_stream_rejects_size_mismatch():
+    """Size-mismatched captures must raise (the reference blocks them,
+    indexing_ui.py:1212-1222) instead of inspecting clamped crops."""
+    import pytest
+
+    frames = [
+        make_mold_image(GRID, HW, seed=0),
+        make_mold_image(GRID, (HW[0] + 8, HW[1]), seed=1),
+    ]
+    with pytest.raises(ValueError, match="does not match"):
+        list(stream_inspect(frames, GRID, SegmentationParams(), DefectParams()))

@@ -105,7 +105,19 @@ def stream_inspect(
         return res
 
     inflight: deque[tuple[int, tuple]] = deque()
+    shape0 = None
     for i, image in enumerate(images):
+        image = np.asarray(image)
+        # the reference blocks size-mismatched captures once a grid exists
+        # (indexing_ui.py:1212-1222); silently clamped crops would inspect
+        # the wrong pixels
+        if shape0 is None:
+            shape0 = image.shape
+        elif image.shape != shape0:
+            raise ValueError(
+                f"frame {i} size {image.shape[::-1]} does not match the "
+                f"stream's first frame {shape0[::-1]}"
+            )
         inflight.append((i, dispatch(image)))
         while len(inflight) > max(1, int(prefetch)):
             j, out = inflight.popleft()
