@@ -552,3 +552,28 @@ def test_canny_whole_image_tiled_path():
         ours = np.asarray(canny_u8(jnp.asarray(base[None]), lo, hi))[0]
         ref = cv2.Canny(base, lo, hi)
         np.testing.assert_array_equal(ours, ref, err_msg=f"thr={thr}")
+
+
+def test_label_components_whole_image_tile_seeded():
+    """label_components beyond the resident budget (tile-seeded init path)
+    vs cv2 connected components: identical partition with raster-first
+    root values."""
+    import cv2
+
+    from tpu_inspect.ops import cc
+
+    rng = np.random.RandomState(13)
+    h, w = 700, 1024
+    fg = (rng.rand(h, w) > 0.52).astype(np.uint8)
+    fg[::9, :] = 1  # long structures spanning every tile
+    fg[4::9, ::3] = 0
+    got = np.asarray(cc.label_components(jnp.asarray(fg[None] > 0)))[0]
+    n, lab = cv2.connectedComponents(fg, connectivity=8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    lin = yy * w + xx
+    expect = np.full((h, w), cc._BIG, np.int64)
+    for comp in range(1, n):
+        m = lab == comp
+        expect[m] = lin[m].min()
+    np.testing.assert_array_equal(got[fg > 0], expect[fg > 0])
+    assert (got[fg == 0] == cc._BIG).all()
