@@ -571,9 +571,8 @@ def test_label_components_whole_image_tile_seeded():
     n, lab = cv2.connectedComponents(fg, connectivity=8)
     yy, xx = np.mgrid[0:h, 0:w]
     lin = yy * w + xx
-    expect = np.full((h, w), cc._BIG, np.int64)
-    for comp in range(1, n):
-        m = lab == comp
-        expect[m] = lin[m].min()
+    roots = np.full(n, cc._BIG, np.int64)
+    np.minimum.at(roots, lab[fg > 0], lin[fg > 0])
+    expect = roots[lab]
     np.testing.assert_array_equal(got[fg > 0], expect[fg > 0])
     assert (got[fg == 0] == cc._BIG).all()
