@@ -12,6 +12,11 @@ plane lives in VMEM for the whole fixpoint:
 
 Returns the same labels as ops.cc.label_components: min linear index per
 component on foreground, 2^30 on background.
+
+Replaces cv2.connectedComponentsWithStats(8) on the reference's hot
+paths: defect-ROI largest-component selection (indexing_ui.py:1504-1510),
+alignment centroids (indexing_ui.py:2235-2248), and the blob-filter
+labeling the contour pass builds on (indexing_ui.py:1540-1558).
 """
 
 from __future__ import annotations
