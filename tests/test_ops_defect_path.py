@@ -183,3 +183,73 @@ def test_tile_seeded_init_is_valid_upper_bound():
     ys, xs = np.divmod(init[fg], w)
     assert fg[0][ys, xs].all()
     assert (final[0][ys, xs] == final[fg]).all()
+
+
+class TestTiledLargestComponentStats:
+    """largest_component_sums_tiled (per-tile sorts + boundary-ring
+    aggregation) vs the global-sort path, incl. cv2 tie-break parity."""
+
+    def _check(self, fg, tiles=((8, 16), (16, 8), (5, 5), (64, 64))):
+        import jax.numpy as jnp
+
+        from tpu_inspect.ops import cc
+
+        fgj = jnp.asarray(fg)
+        labels = cc.label_components(fgj)
+        ref = tuple(np.asarray(v) for v in cc.largest_component_sums(fgj))
+        for tile in tiles:
+            got = tuple(
+                np.asarray(v)
+                for v in cc.largest_component_sums_tiled(
+                    fgj, labels, tile_hw=tile
+                )
+            )
+            for g, r, name in zip(
+                got, ref, ["mask", "area", "sx", "sy", "has_fg"]
+            ):
+                np.testing.assert_array_equal(
+                    g, r, err_msg=f"tile={tile} field={name}"
+                )
+
+    def test_random(self):
+        rng = np.random.RandomState(17)
+        self._check(rng.rand(3, 37, 53) > 0.55)
+
+    def test_serpentine_spans_all_tiles(self):
+        fg = np.zeros((1, 40, 60), bool)
+        fg[0, ::5, :] = True
+        fg[0, 2::10, -1] = True
+        fg[0, 7::10, 0] = True
+        self._check(fg)
+
+    def test_equal_area_tie_across_tiles(self):
+        # two 5x4 rectangles in different tiles; cv2 order = min block rank
+        fg = np.zeros((1, 30, 40), bool)
+        fg[0, 20:25, 2:6] = True    # lower-left, earlier block? no: later row
+        fg[0, 3:8, 30:34] = True    # upper-right
+        self._check(fg)
+
+    def test_interior_vs_ring_tie(self):
+        # equal-area components: one interior to a tile, one crossing tiles
+        fg = np.zeros((1, 32, 32), bool)
+        fg[0, 2:4, 2:6] = True      # 8 px interior (for 16x16 tiles)
+        fg[0, 14:18, 20:22] = True  # 8 px straddling the tile boundary
+        self._check(fg, tiles=((16, 16),))
+
+    def test_empty_and_full_units(self):
+        fg = np.zeros((3, 20, 24), bool)
+        fg[1] = True
+        fg[2, 5, 5] = True
+        self._check(fg)
+
+    def test_component_visits_tile_only_via_ring(self):
+        # a component entering a tile by a single ring pixel
+        fg = np.zeros((1, 20, 20), bool)
+        fg[0, 9, :] = True          # horizontal line crossing tiles (10,10)
+        fg[0, 10, 0] = True         # one pixel below, conn8 to the line
+        self._check(fg, tiles=((10, 10),))
+
+    def test_single_pixels_everywhere(self):
+        rng = np.random.RandomState(19)
+        fg = rng.rand(2, 25, 31) > 0.93  # sparse specks
+        self._check(fg)

@@ -269,6 +269,19 @@ def largest_component_sums(fg: jnp.ndarray):
 
     labels = label_components(fg)
 
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if (
+        on_tpu
+        and h * w > _TILE_HW[0] * _TILE_HW[1]
+        and u * hw < 2**31 - 1
+    ):
+        # whole-image class: per-tile parallel-segment sorts + exact
+        # boundary-ring aggregation instead of one [U, H*W] global sort
+        return largest_component_sums_tiled(fg, labels)
+
     if stats_fits(fg.shape):
         # TPU: sequential-over-roots VMEM reduction (no [U, H*W] sort)
         return component_stats_pallas(labels, h=h, w=w)
@@ -312,6 +325,196 @@ def largest_component_sums(fg: jnp.ndarray):
     sum_dtype = jnp.int32 if max(h, w) * h * w < 2**31 else jnp.int64
     sx = jnp.where(best_mask, xs, 0).sum(axis=(1, 2), dtype=sum_dtype)
     sy = jnp.where(best_mask, ys, 0).sum(axis=(1, 2), dtype=sum_dtype)
+    has_fg = fg.any(axis=(1, 2))
+    return best_mask, area, sx, sy, has_fg
+
+
+def largest_component_sums_tiled(
+    fg: jnp.ndarray,
+    labels: jnp.ndarray,
+    tile_hw: tuple[int, int] = _TILE_HW,
+):
+    """largest_component_sums for whole-image planes, given exact labels
+    (the tile-seeded fixpoint output) — no global [U, H*W] sort.
+
+    Per-tile runs come from [T, th*tw] parallel-segment sorts (many short
+    segments sort faster than one 12M-element segment on TPU); cross-tile
+    totals aggregate EXACTLY on the tiny boundary-ring table:
+
+    - a component spanning tiles must, in every tile it visits, have a
+      pixel on that tile's boundary ring (some pixel there neighbors the
+      outside), so each of its per-tile fragments appears among that
+      tile's ring labels; summing the deduplicated (tile, root) ring
+      entries per root gives exact totals and exact min block ranks for
+      every ring-touching component;
+    - components interior to one tile compete via their tile's best
+      non-ring run: an interior run beaten inside its own tile (area
+      desc, block rank asc) can never win globally, because any ring
+      fragment tying it belongs to a strictly larger component;
+
+    the winner is the max-area candidate, ties by min block rank — the
+    cv2 block-raster order documented on largest_component_sums. Output
+    contract identical. Requires u*h*w < 2**31 (int32 keys).
+    """
+    u, h, w = fg.shape
+    hw = h * w
+    if u * hw >= 2**31 - 1:
+        raise ValueError("tiled stats need u*h*w < 2^31")
+    th, tw = tile_hw
+    nh, nw = -(-h // th), -(-w // tw)
+    t_n = u * nh * nw
+    thw = th * tw
+    sent = jnp.int32(u * hw)
+    brbig = jnp.int32(2**30)
+
+    ukey = (jnp.arange(u, dtype=jnp.int32) * hw)[:, None, None]
+    key_img = jnp.where(fg, labels + ukey, sent)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 2)
+    bw_ = (w + 1) // 2
+    br_img = ((yy >> 1) * bw_ + (xx >> 1)) * 4 + (yy & 1) * 2 + (xx & 1)
+
+    def tile(x, fill):
+        xp = jnp.pad(
+            x,
+            ((0, 0), (0, nh * th - h), (0, nw * tw - w)),
+            constant_values=fill,
+        )
+        return (
+            xp.reshape(u, nh, th, nw, tw)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(t_n, th, tw)
+        )
+
+    keys_t = tile(key_img, int(sent))
+    br_t = tile(br_img, 0).reshape(t_n, thw)
+    keys_f = keys_t.reshape(t_n, thw)
+
+    # per-tile runs; num_keys=2 puts each run's min block rank at its start
+    s, br2 = jax.lax.sort((keys_f, br_t), dimension=1, num_keys=2)
+    run_start, next_start, newrun = _run_geometry(s)
+    run_len = next_start - run_start
+    valid = newrun & (s < sent)
+
+    # boundary-ring lookup: ring pixel keys -> their runs (searchsorted
+    # 'left' on the sorted keys IS the run start)
+    ring_r = jnp.concatenate(
+        [
+            jnp.zeros((tw,), jnp.int32),
+            jnp.full((tw,), th - 1, jnp.int32),
+            jnp.arange(th, dtype=jnp.int32),
+            jnp.arange(th, dtype=jnp.int32),
+        ]
+    )
+    ring_c = jnp.concatenate(
+        [
+            jnp.arange(tw, dtype=jnp.int32),
+            jnp.arange(tw, dtype=jnp.int32),
+            jnp.zeros((th,), jnp.int32),
+            jnp.full((th,), tw - 1, jnp.int32),
+        ]
+    )
+    r_n = ring_r.shape[0]
+    ring_keys = keys_t[:, ring_r, ring_c]  # [T, R]
+    ring_valid = ring_keys < sent
+    pos = jax.vmap(jnp.searchsorted)(s, ring_keys).astype(jnp.int32)
+    pos_c = jnp.clip(pos, 0, thw - 1)
+    ring_area = jnp.take_along_axis(run_len, pos_c, axis=1)
+    ring_br = jnp.take_along_axis(br2, pos_c, axis=1)
+
+    # flag ring runs so interior candidates exclude them (extra slot
+    # absorbs invalid entries; no clipping onto a real run)
+    pos_f = jnp.where(ring_valid, pos_c, jnp.int32(thw))
+    ring_flag = (
+        jnp.zeros((t_n, thw + 1), bool)
+        .at[jnp.arange(t_n, dtype=jnp.int32)[:, None], pos_f]
+        .set(True)[:, :thw]
+    )
+
+    # interior candidates: best non-ring run per tile
+    cand = valid & ~ring_flag
+    area_c = jnp.where(cand, run_len, 0)
+    amax_int = area_c.max(axis=1)
+    br_c = jnp.where(cand & (run_len == amax_int[:, None]), br2, brbig)
+    brmin_int = br_c.min(axis=1)
+    pick = (
+        cand & (run_len == amax_int[:, None]) & (br2 == brmin_int[:, None])
+    )
+    ppos = jnp.argmax(pick, axis=1)
+    int_ok = amax_int > 0
+    int_key = jnp.where(
+        int_ok, jnp.take_along_axis(s, ppos[:, None], axis=1)[:, 0], sent
+    )
+    int_area = jnp.where(int_ok, amax_int, 0)
+    int_br = jnp.where(int_ok, brmin_int, brbig)
+
+    # ring aggregation: dedup (tile, root) fragments, then sum per root
+    m = t_n * r_n
+    tgrid = jnp.broadcast_to(
+        jnp.arange(t_n, dtype=jnp.int64)[:, None], (t_n, r_n)
+    )
+    dsent = jnp.int64(2**62)
+    dkey = jnp.where(
+        ring_valid,
+        tgrid * jnp.int64(int(sent) + 1) + ring_keys.astype(jnp.int64),
+        dsent,
+    ).reshape(1, m)
+    key_v = jnp.where(ring_valid, ring_keys, sent).reshape(1, m)
+    area_v = jnp.where(ring_valid, ring_area, 0).reshape(1, m)
+    br_v = jnp.where(ring_valid, ring_br, brbig).reshape(1, m)
+    dk_s, key_s, area_s, br_s = jax.lax.sort(
+        (dkey, key_v, area_v, br_v), dimension=1, num_keys=1
+    )
+    _, _, dnew = _run_geometry(dk_s)
+    uniq = dnew & (dk_s < dsent)
+    key_u = jnp.where(uniq, key_s, sent)
+    area_u = jnp.where(uniq, area_s, 0)
+    br_u = jnp.where(uniq, br_s, brbig)
+    # num_keys=2: run-start block rank is the per-root min; duplicate-free
+    # areas sum per run via a cumsum difference
+    k2, b2, a2 = jax.lax.sort((key_u, br_u, area_u), dimension=1, num_keys=2)
+    rs2, ns2, nr2 = _run_geometry(k2)
+    csum = jnp.cumsum(a2, axis=1, dtype=jnp.int32)
+
+    def take1(arr, idx):
+        return jnp.take_along_axis(arr, jnp.clip(idx, 0, m - 1), axis=1)
+
+    tot = take1(csum, ns2 - 1) - jnp.where(
+        rs2 > 0, take1(csum, rs2 - 1), jnp.int32(0)
+    )
+    ring_cand = nr2 & (k2 < sent)
+    ring_key_c = jnp.where(ring_cand, k2, sent)[0]
+    ring_area_c = jnp.where(ring_cand, tot, 0)[0]
+    ring_br_c = jnp.where(ring_cand, b2, brbig)[0]
+
+    # winner per unit across both candidate sets
+    all_key = jnp.concatenate([int_key, ring_key_c])
+    all_area = jnp.concatenate([int_area, ring_area_c])
+    all_br = jnp.concatenate([int_br, ring_br_c])
+    live = all_key < sent
+    unit_of = jnp.where(live, all_key // hw, jnp.int32(u))
+    area_rank = jnp.where(live, jnp.int32(hw) - all_area, jnp.int32(hw) + 1)
+    ku, ka, kb, kk = jax.lax.sort(
+        (unit_of[None], area_rank[None], all_br[None], all_key[None]),
+        dimension=1,
+        num_keys=3,
+    )
+    firsts = jnp.clip(
+        jnp.searchsorted(ku[0], jnp.arange(u, dtype=jnp.int32)),
+        0,
+        ku.shape[1] - 1,
+    )
+    present = ku[0][firsts] == jnp.arange(u, dtype=jnp.int32)
+    win_label = jnp.where(
+        present, kk[0][firsts] - jnp.arange(u, dtype=jnp.int32) * hw,
+        jnp.int32(hw),
+    )
+
+    best_mask = fg & (labels == win_label[:, None, None])
+    area = best_mask.sum(axis=(1, 2), dtype=jnp.int32)
+    sum_dtype = jnp.int32 if max(h, w) * hw < 2**31 else jnp.int64
+    sx = jnp.where(best_mask, xx, 0).sum(axis=(1, 2), dtype=sum_dtype)
+    sy = jnp.where(best_mask, yy, 0).sum(axis=(1, 2), dtype=sum_dtype)
     has_fg = fg.any(axis=(1, 2))
     return best_mask, area, sx, sy, has_fg
 
