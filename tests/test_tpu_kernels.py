@@ -576,3 +576,29 @@ def test_label_components_whole_image_tile_seeded():
     expect = roots[lab]
     np.testing.assert_array_equal(got[fg > 0], expect[fg > 0])
     assert (got[fg == 0] == cc._BIG).all()
+
+
+def test_largest_component_whole_image_stats():
+    """largest_component_sums beyond the resident budget (tile-seeded
+    labels + sort-free ring aggregation dispatch) vs cv2 stats."""
+    import cv2
+
+    from tpu_inspect.ops import cc
+
+    rng = np.random.RandomState(14)
+    h, w = 700, 1024
+    fg = np.zeros((h, w), np.uint8)
+    # blobby mold-like structures + specks
+    fg[80:600, 100:900] = (rng.rand(520, 800) > 0.25).astype(np.uint8)
+    fg[650:680, 40:980] = 1
+    mask, area, sx, sy, has = (
+        np.asarray(v)
+        for v in cc.largest_component_sums(jnp.asarray(fg[None] > 0))
+    )
+    n, lab, stats, _ = cv2.connectedComponentsWithStats(fg, connectivity=8)
+    assert n > 1 and bool(has[0])
+    best = 1 + int(np.argmax(stats[1:, cv2.CC_STAT_AREA]))
+    np.testing.assert_array_equal(mask[0], lab == best)
+    ys, xs = np.nonzero(lab == best)
+    assert int(area[0]) == len(xs)
+    assert int(sx[0]) == int(xs.sum()) and int(sy[0]) == int(ys.sum())
