@@ -126,7 +126,7 @@ _CHUNK = 4  # units grouped into one matmul M dimension (G*256 rows)
 
 def _median_residual_kernel(
     x_ref, s2_ref, lo_ref, hi_ref, out_ref, hist_ref,
-    *, k, thr, u, h, w, mxu_reduce=True,
+    *, k, thr, u, h, w,
 ):
     """Fused: out = 255 where |x - median_k(x)| > thr else 0.
 
@@ -170,15 +170,15 @@ def _median_residual_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (m, w), 0), jnp.int32(255)
     )
     tiles = tuple((c0, min(c0 + 128, w)) for c0 in range(0, w, 128))
-    # block-ones [G, m] matrix: the per-group sum over 256 value-sublanes
-    # rides the MXU as ONE tiny matmul instead of a log-depth tree of
-    # cross-sublane adds (~550 VPU ops/row saved; partials < 2^20 so f32
-    # accumulation is exact)
-    grp_rows = jax.lax.broadcasted_iota(jnp.int32, (G, m), 0)
-    grp_cols = jax.lax.broadcasted_iota(jnp.int32, (G, m), 1)
-    ones_block = (
-        jnp.right_shift(grp_cols, jnp.int32(8)) == grp_rows
-    ).astype(jnp.float32)
+    # NOTE on the reduce over each group's 256 value-sublanes: riding it on
+    # the MXU as a block-ones matmul is a trap. The TPU MXU truncates f32
+    # matmul inputs to bf16 (measured on hardware: default precision runs
+    # one bf16 pass, Precision.HIGHEST three — both inexact for the 20-bit
+    # integer operands here), which silently corrupted the rank queries
+    # while passing in interpret mode. A bf16-exact reformulation (win
+    # split into <=255 halves, power-of-two block weights, 4x stacked M)
+    # IS exact but measured 16.8 ms vs 7.4 ms for the plain sublane tree
+    # sum on the full-row 48-unit envelope — so the tree sum stays.
 
     def chunk_body(ci, carry):
         c0u = ci * jnp.int32(G)
@@ -245,27 +245,17 @@ def _median_residual_kernel(
                     preferred_element_type=jnp.float32,
                 )  # [m, c1-c0] f32 window histograms, exact (counts <= 441)
                 wm = win * mask[:, c0:c1]
-                if mxu_reduce:
-                    combs.append(
-                        jax.lax.dot_general(
-                            ones_block,
-                            wm,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                    )  # [G, c1-c0]
-                else:
-                    combs.append(
-                        jnp.concatenate(
-                            [
-                                wm[g * 256 : (g + 1) * 256, :].sum(
-                                    axis=0, keepdims=True
-                                )
-                                for g in range(G)
-                            ],
-                            axis=0,
-                        )
-                    )  # [G, c1-c0] (kill-switch fallback: sublane tree sum)
+                combs.append(
+                    jnp.concatenate(
+                        [
+                            wm[g * 256 : (g + 1) * 256, :].sum(
+                                axis=0, keepdims=True
+                            )
+                            for g in range(G)
+                        ],
+                        axis=0,
+                    )
+                )  # [G, c1-c0] sublane tree sum (see exactness note above)
             comb = (
                 jnp.concatenate(combs, axis=1) if len(combs) > 1 else combs[0]
             )
@@ -287,161 +277,6 @@ def _median_residual_kernel(
     jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(u // _CHUNK), chunk_body, jnp.int32(0)
     )
-
-
-def _median_residual_kernel_split(
-    x_ref, s2_ref, lo_ref, hi_ref, out_ref, hist_ref, *, k, thr, u, h, w
-):
-    """Pair/odd split variant of _median_residual_kernel.
-
-    The histogram state is stacked [2*G*128, w] bf16: rows [g*128,(g+1)*128)
-    hold unit g's PAIR counts (count of {2p, 2p+1}), rows G*128 + [g*128, ..)
-    its ODD counts (count of {2p+1}). The rank query decomposes as
-        cdf(t) = sum_{p <= t>>1} pair_p  -  [t even] * odd_{t>>1}
-    so the one-hot build halves to 128 value-rows per event (the odd block
-    reuses the pair one-hot scaled by the value's parity), and the window
-    sums of both blocks ride the SAME [2*G*128, K]@[K, tile] MXU matmul.
-    The packed dual query keeps the 2048*hi + lo field layout: the odd
-    corrections enter the block-ones reduction with negated mask weights
-    (per-field non-negative, f32-exact integers < 2^23).
-    """
-    r = k // 2
-    rank = (k * k + 1) // 2
-    G = _CHUNK
-    half = G * 128
-    m = 2 * half
-    # pair-index per row within each 128-row block
-    pairs_half = jnp.bitwise_and(
-        jax.lax.broadcasted_iota(jnp.int32, (half, w), 0), jnp.int32(127)
-    )
-    grp_rows = jax.lax.broadcasted_iota(jnp.int32, (G, m), 0)
-    grp_cols = jax.lax.broadcasted_iota(jnp.int32, (G, m), 1)
-    blk = jnp.bitwise_and(
-        jnp.right_shift(grp_cols, jnp.int32(7)), jnp.int32(G - 1)
-    )
-    ones_block = (blk == grp_rows).astype(jnp.float32)
-    tiles = tuple((c0, min(c0 + 128, w)) for c0 in range(0, w, 128))
-
-    def chunk_body(ci, carry):
-        c0u = ci * jnp.int32(G)
-
-        def mn(i, c):
-            return jnp.minimum(c, lo_ref[c0u + i])
-
-        def mx(i, c):
-            return jnp.maximum(c, hi_ref[c0u + i])
-
-        y_lo = jax.lax.fori_loop(jnp.int32(0), jnp.int32(G), mn, jnp.int32(h))
-        y_hi = jax.lax.fori_loop(jnp.int32(0), jnp.int32(G), mx, jnp.int32(0))
-
-        def rows_half(y):
-            """[G*128, w] i32: unit g's clamped row y over its 128-block."""
-            yc = jnp.maximum(jnp.minimum(y, jnp.int32(h - 1)), jnp.int32(0))
-            parts = [
-                jnp.broadcast_to(
-                    x_ref[pl.ds(c0u + g, 1), pl.ds(yc, 1), 0, :]
-                    .astype(jnp.int32)
-                    .reshape(1, w),
-                    (128, w),
-                )
-                for g in range(G)
-            ]
-            return jnp.concatenate(parts, axis=0)
-
-        def update(y, sign):
-            rh = rows_half(y)
-            oh = (pairs_half == jnp.right_shift(rh, jnp.int32(1))).astype(
-                jnp.bfloat16
-            )
-            oddb = jnp.bitwise_and(rh, jnp.int32(1)).astype(jnp.bfloat16)
-            if sign > 0:
-                hist_ref[0:half, :] = hist_ref[0:half, :] + oh
-                hist_ref[half:m, :] = hist_ref[half:m, :] + oh * oddb
-            else:
-                hist_ref[0:half, :] = hist_ref[0:half, :] - oh
-                hist_ref[half:m, :] = hist_ref[half:m, :] - oh * oddb
-
-        # init: zero then add the 2r+1 clamped rows of the first window
-        hist_ref[:, :] = jnp.zeros((m, w), jnp.bfloat16)
-
-        def init_body(dy, c):
-            update(y_lo + dy - r, 1)
-            return c
-
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(2 * r + 1), init_body,
-                          jnp.int32(0))
-
-        def row_body(y, c):
-            hist = hist_ref[:, :]
-            gh = rows_half(y)  # [half, w] center values per unit block
-            t2 = gh + jnp.int32(thr)
-            t1 = gh - jnp.int32(thr + 1)
-            p2 = jnp.right_shift(t2, jnp.int32(1))
-            p1 = jnp.right_shift(t1, jnp.int32(1))
-            # pair mask: 2048*[p <= p2] + [p <= p1]  (p1 <= p2 since thr>=0)
-            mask_p = jnp.where(
-                pairs_half <= p1,
-                jnp.float32(2049.0),
-                jnp.where(pairs_half <= p2, jnp.float32(2048.0),
-                          jnp.float32(0.0)),
-            )
-            # odd corrections only when t is even: q = p when even else -1
-            q2 = jnp.where(
-                jnp.bitwise_and(t2, jnp.int32(1)) == 0, p2, jnp.int32(-1)
-            )
-            q1 = jnp.where(
-                jnp.bitwise_and(t1, jnp.int32(1)) == 0, p1, jnp.int32(-1)
-            )
-            mask_o = jnp.where(
-                pairs_half == q2, jnp.float32(2048.0), jnp.float32(0.0)
-            ) + jnp.where(pairs_half == q1, jnp.float32(1.0), jnp.float32(0.0))
-            mask = jnp.concatenate([mask_p, -mask_o], axis=0)  # [m, w]
-
-            combs = []
-            for c0, c1 in tiles:
-                s0 = max(0, c0 - r)
-                s1 = min(w, c1 + r)
-                win = jax.lax.dot_general(
-                    hist[:, s0:s1],
-                    s2_ref[s0:s1, c0:c1],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [m, c1-c0] f32, exact (pair counts <= 2k, sums <= 2*441)
-                combs.append(
-                    jax.lax.dot_general(
-                        ones_block,
-                        win * mask[:, c0:c1],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                )
-            comb = (
-                jnp.concatenate(combs, axis=1) if len(combs) > 1 else combs[0]
-            )
-            cc_ = comb.astype(jnp.int32)  # [G, w]
-            lo = jnp.bitwise_and(cc_, jnp.int32(2047))
-            hi = jnp.right_shift(cc_, jnp.int32(11))
-            bit = ((lo >= rank) | (hi < rank)).astype(jnp.int32)
-            byte = (bit * 255).astype(jnp.uint8)
-            for g in range(G):
-                out_ref[pl.ds(c0u + g, 1), pl.ds(y, 1), 0, :] = byte[
-                    g : g + 1, :
-                ].reshape(1, 1, w)
-            update(y + r + 1, 1)
-            update(y - r, -1)
-            return c
-
-        jax.lax.fori_loop(y_lo, y_hi, row_body, jnp.int32(0))
-        return carry
-
-    jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(u // _CHUNK), chunk_body, jnp.int32(0)
-    )
-
-
-# A/B switch: the pair/odd split kernel (see _median_residual_kernel_split)
-# vs the 256-row one-hot kernel. Flipped after on-hardware measurement.
-_USE_SPLIT_MEDIAN = False
 
 
 @functools.partial(jax.jit, static_argnames=("k", "thr"))
@@ -494,22 +329,9 @@ def median_residual_mask_pallas(
         row_lo = jnp.concatenate([row_lo, jnp.full((pad_u,), h, jnp.int32)])
         row_hi = jnp.concatenate([row_hi, jnp.zeros((pad_u,), jnp.int32)])
     up = u + pad_u
-    from tpu_inspect.ops.common import fused_disabled
-
-    if _USE_SPLIT_MEDIAN and not fused_disabled():
-        kernel = functools.partial(
-            _median_residual_kernel_split, k=k, thr=int(thr), u=up, h=h, w=w
-        )
-    else:
-        kernel = functools.partial(
-            _median_residual_kernel,
-            k=k,
-            thr=int(thr),
-            u=up,
-            h=h,
-            w=w,
-            mxu_reduce=not fused_disabled(),
-        )
+    kernel = functools.partial(
+        _median_residual_kernel, k=k, thr=int(thr), u=up, h=h, w=w
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((up, h, 1, w), jnp.uint8),
