@@ -215,6 +215,27 @@ class TestTiledLargestComponentStats:
         rng = np.random.RandomState(17)
         self._check(rng.rand(3, 37, 53) > 0.55)
 
+    def test_traceable_under_jit(self):
+        # the defect path calls this inside a jitted function; a host-side
+        # int()/concretization anywhere in the tiled stats breaks tracing
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from tpu_inspect.ops import cc
+
+        rng = np.random.RandomState(18)
+        fg = jnp.asarray(rng.rand(2, 23, 31) > 0.5)
+        labels = cc.label_components(fg)
+        f = jax.jit(
+            functools.partial(cc.largest_component_sums_tiled, tile_hw=(8, 16))
+        )
+        got = tuple(np.asarray(v) for v in f(fg, labels))
+        ref = tuple(np.asarray(v) for v in cc.largest_component_sums(fg))
+        for g, r in zip(got, ref):
+            np.testing.assert_array_equal(g, r)
+
     def test_serpentine_spans_all_tiles(self):
         fg = np.zeros((1, 40, 60), bool)
         fg[0, ::5, :] = True
@@ -253,3 +274,40 @@ class TestTiledLargestComponentStats:
         rng = np.random.RandomState(19)
         fg = rng.rand(2, 25, 31) > 0.93  # sparse specks
         self._check(fg)
+
+
+def test_filter_and_select_int64_two_level_scan():
+    """filter_and_select on a plane large enough to force the int64
+    Green's-sum dtype (big >= 2^31) vs cv2 RETR_EXTERNAL semantics — covers
+    the two-level int32-block scan that replaces the emulated int64
+    cumsum/cummax (which blew TPU scoped VMEM inside fori_loop chains)."""
+    import jax.numpy as jnp
+
+    h, w = 750, 900  # (nv+1)*2*bias = 677k*4096 >= 2^31 -> int64 branch
+    rng = np.random.RandomState(5)
+    m = np.zeros((h, w), np.uint8)
+    for _ in range(40):
+        y, x = rng.randint(0, h - 30), rng.randint(0, w - 30)
+        bh, bw = rng.randint(1, 28), rng.randint(1, 28)
+        m[y : y + bh, x : x + bw] = 255
+    m[200:600, 100:101] = 255  # thin tall blob (area 0 contour)
+    for lo, hi in [(5, 1000), (0, 10**9)]:
+        ref = np.zeros_like(m)
+        cnts, _ = cv2.findContours(
+            (m > 0).astype(np.uint8), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+        )
+        for c in cnts:
+            a = cv2.contourArea(c)
+            if lo <= a <= hi:
+                cv2.drawContours(ref, [c], -1, 255, -1)
+        out, found = contour.filter_and_select(
+            jnp.asarray(m[None] > 0),
+            jnp.int32(2 * lo),
+            jnp.asarray([2 * hi], dtype=jnp.int64).astype(jnp.int32)
+            if hi < 2**30
+            else jnp.asarray([2**30], jnp.int32),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out)[0].astype(np.uint8) * 255, ref
+        )
+        assert bool(np.asarray(found)[0]) == bool(ref.any())

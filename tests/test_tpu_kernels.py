@@ -536,6 +536,7 @@ def test_canny_whole_image_tiled_path():
     the strip-tiled propagate (ops/canny.py _propagate8) and must stay
     cv2-exact (indexing_ui.py:1536-1539 semantics)."""
     import cv2
+    import jax.numpy as jnp
 
     from tpu_inspect.ops.canny import canny_u8
     from tpu_inspect.ops.flood_pallas import flood_fits, flood_fits_tiled
@@ -559,6 +560,7 @@ def test_label_components_whole_image_tile_seeded():
     vs cv2 connected components: identical partition with raster-first
     root values."""
     import cv2
+    import jax.numpy as jnp
 
     from tpu_inspect.ops import cc
 
@@ -582,6 +584,7 @@ def test_largest_component_whole_image_stats():
     """largest_component_sums beyond the resident budget (tile-seeded
     labels + sort-free ring aggregation dispatch) vs cv2 stats."""
     import cv2
+    import jax.numpy as jnp
 
     from tpu_inspect.ops import cc
 

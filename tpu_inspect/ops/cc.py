@@ -155,10 +155,13 @@ def label_components(fg: jnp.ndarray, plan: str = "crc") -> jnp.ndarray:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    wp = -(-w // 128) * 128
-    hp = -(-h // 8) * 8
-    vmem_est = u * h * w + 3 * hp * wp * 4
-    if on_tpu and (max(h, w) + 1) * (1 << k_pow) < 2**31 and vmem_est < 10 * 2**20:
+    from tpu_inspect.ops.cc_pallas import fixpoint_vmem_est
+
+    if (
+        on_tpu
+        and (max(h, w) + 1) * (1 << k_pow) < 2**31
+        and fixpoint_vmem_est(u, h, w) < 15 * 2**20
+    ):
         from tpu_inspect.ops.cc_pallas import label_components_pallas
 
         return label_components_pallas(fg, plan=plan)
@@ -386,7 +389,7 @@ def largest_component_sums_tiled(
             .reshape(t_n, th, tw)
         )
 
-    keys_t = tile(key_img, int(sent))
+    keys_t = tile(key_img, u * hw)
     br_t = tile(br_img, 0).reshape(t_n, thw)
     keys_f = keys_t.reshape(t_n, thw)
 
@@ -456,7 +459,7 @@ def largest_component_sums_tiled(
     dsent = jnp.int64(2**62)
     dkey = jnp.where(
         ring_valid,
-        tgrid * jnp.int64(int(sent) + 1) + ring_keys.astype(jnp.int64),
+        tgrid * jnp.int64(u * hw + 1) + ring_keys.astype(jnp.int64),
         dsent,
     ).reshape(1, m)
     key_v = jnp.where(ring_valid, ring_keys, sent).reshape(1, m)

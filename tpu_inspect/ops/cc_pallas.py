@@ -434,15 +434,28 @@ def fused_stats_fits(shape) -> bool:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    wp = -(-w // 128) * 128
-    hp = -(-h // 8) * 8
-    vmem_est = u * h * w + 3 * hp * wp * 4
     return (
         on_tpu
         and (max(h, w) + 1) * (1 << k_pow) < 2**31
-        and vmem_est < 10 * 2**20
+        and fixpoint_vmem_est(u, h, w) < 15 * 2**20
         and max(h, w) * h * w < 2**31
     )
+
+
+def fixpoint_vmem_est(u: int, h: int, w: int) -> int:
+    """Scoped-VMEM estimate for the label-fixpoint kernels: whole fg batch
+    (u8, VMEM-resident) plus the fixpoint's live [hp, wp] i32 temporaries.
+
+    Calibrated on hardware: the compiler's scoped-allocation report for a
+    [1, 700, 1024] plane was 31.22 MB — i.e. ~10.3 padded i32 planes beyond
+    the in/out buffers — so the estimate charges 11 planes. The production
+    [48, 315, 316] envelope lands at ~10 MB under this formula and is
+    verified compiling + bit-exact; the old 3-plane estimate let the
+    [1, 700, 1024] whole-image class through to a 31 MB > 16 MB compile
+    failure instead of the tile-seeded path."""
+    hp = -(-h // 8) * 8
+    wp = -(-w // 128) * 128
+    return u * h * w + 11 * hp * wp * 4
 
 
 @functools.partial(jax.jit, static_argnames=("plan",))

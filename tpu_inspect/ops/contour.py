@@ -281,12 +281,74 @@ def filter_and_select(
     is_end = jnp.concatenate([newrun[:, 1:], jnp.ones((u, 1), bool)], axis=1)
 
     # monotonic prefix: P'[i] = sum(sv[:i+1] + bias) grows strictly
-    p_mono = jnp.cumsum((sv + bias).astype(sum_dtype), axis=1)
-    end_vals = jnp.where(is_end, p_mono, jnp.asarray(-1, sum_dtype))
-    prev_end = jax.lax.cummax(
-        jnp.concatenate([jnp.full((u, 1), -1, sum_dtype), end_vals[:, :-1]], axis=1),
-        axis=1,
-    )
+    if sum_dtype == jnp.int64:
+        # Whole-image planes: int64 cumsum/cummax on TPU are emulated as
+        # (u32, u32)-pair reduce-window scans whose hierarchical stages
+        # blow the 16 MB scoped-VMEM budget at ~12M elements (observed:
+        # 19.07M scoped alloc inside a fori_loop). Two-level scan instead:
+        # int32 prefix ops within blocks sized so block sums stay < 2^31,
+        # with a tiny int64 carry across the ~nv/B block summaries.
+        blk = 1 << (30 - int(bias).bit_length())
+        assert blk >= 128, "bias too large for two-level int32 scan"
+        nb = -(-nv // blk)
+        pad_n = nb * blk - nv
+        x32 = jnp.pad((sv + bias).astype(jnp.int32), ((0, 0), (0, pad_n)))
+        c_in = jnp.cumsum(x32.reshape(u, nb, blk), axis=2, dtype=jnp.int32)
+        blk_tot = c_in[:, :, -1]  # each < 2^30
+        # exclusive cross-block offsets WITHOUT an int64 scan (any emulated
+        # int64 reduce-window scan, even over nb~200 elements, lands in the
+        # same over-budget fusion): cumsum the 16-bit halves in int32
+        # (max nb * 2^16 and nb * 2^14 both << 2^31), recombine in int64.
+        lo_c = jnp.cumsum(blk_tot & 0xFFFF, axis=1, dtype=jnp.int32)
+        hi_c = jnp.cumsum(blk_tot >> 16, axis=1, dtype=jnp.int32)
+        incl = hi_c.astype(jnp.int64) * 65536 + lo_c.astype(jnp.int64)
+        blk_off = incl - blk_tot.astype(jnp.int64)  # exclusive
+        p_mono = (
+            (c_in.astype(jnp.int64) + blk_off[:, :, None])
+            .reshape(u, nb * blk)[:, :nv]
+        )
+        # prev_end = shifted prefix-max of per-run end values. p_mono is
+        # strictly increasing, so the prefix max IS the value at the most
+        # recent end: in-block int32 cummax of block-relative prefixes,
+        # plus a cross-block carry selected by an int32 index cummax over
+        # the nb block summaries (no int64 scan anywhere).
+        ie_b = jnp.pad(is_end, ((0, 0), (0, pad_n))).reshape(u, nb, blk)
+        cm_in = jax.lax.cummax(
+            jnp.where(ie_b, c_in, jnp.int32(-1)), axis=2
+        )
+        abs_in = jnp.where(
+            cm_in >= 0,
+            cm_in.astype(jnp.int64) + blk_off[:, :, None],
+            jnp.int64(-1),
+        )
+        blk_last = abs_in[:, :, -1]  # [u, nb] last end value in block or -1
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (u, nb), 1)
+        last_idx = jax.lax.cummax(
+            jnp.where(blk_last >= 0, iota_b, jnp.int32(-1)), axis=1
+        )
+        prev_idx = jnp.concatenate(
+            [jnp.full((u, 1), -1, jnp.int32), last_idx[:, :-1]], axis=1
+        )
+        carry = jnp.where(
+            prev_idx >= 0,
+            jnp.take_along_axis(
+                blk_last, jnp.maximum(prev_idx, 0), axis=1
+            ),
+            jnp.int64(-1),
+        )
+        m_incl = jnp.maximum(abs_in, carry[:, :, None]).reshape(u, nb * blk)
+        prev_end = jnp.concatenate(
+            [jnp.full((u, 1), -1, jnp.int64), m_incl[:, : nv - 1]], axis=1
+        )
+    else:
+        p_mono = jnp.cumsum((sv + bias).astype(sum_dtype), axis=1)
+        end_vals = jnp.where(is_end, p_mono, jnp.asarray(-1, sum_dtype))
+        prev_end = jax.lax.cummax(
+            jnp.concatenate(
+                [jnp.full((u, 1), -1, sum_dtype), end_vals[:, :-1]], axis=1
+            ),
+            axis=1,
+        )
     prev_end = jnp.maximum(prev_end, 0)
     run_len = (idx - run_start + 1).astype(sum_dtype)
     total = p_mono - prev_end - run_len * bias  # signed 2x Green's sum
