@@ -311,3 +311,114 @@ def test_filter_and_select_int64_two_level_scan():
             np.asarray(out)[0].astype(np.uint8) * 255, ref
         )
         assert bool(np.asarray(found)[0]) == bool(ref.any())
+
+
+class TestGreenFilterTiled:
+    """_green_filter_tiled with tiny tiles vs cv2 RETR_EXTERNAL filtering:
+    exercises cross-tile aggregation, ring-only visits, and per-tile
+    interior decisions on planes far smaller than the production gate."""
+
+    def _check(self, m, lo_hi_list=((0, 10**9), (5, 120), (20, 60)),
+               tiles=((8, 16), (16, 8), (10, 10))):
+        import jax.numpy as jnp
+
+        from tpu_inspect.ops import cc
+        from tpu_inspect.ops.contour import (
+            _green_filter_tiled,
+            _vertex_attribution,
+        )
+        from tpu_inspect.ops.hole_fill import exterior_background
+
+        m = np.asarray(m, np.uint8)
+        if m.ndim == 2:
+            m = m[None]
+        u, h, w = m.shape
+        hw = h * w
+        fg = jnp.asarray(m > 0)
+        ext = exterior_background(fg)
+        fill_labels = cc.label_components(~ext, plan="rc")
+        fg_labels = cc.label_components(fg, plan="rc")
+        top = fg & (fg_labels == fill_labels)
+        attr, contrib = _vertex_attribution(top, ext, fill_labels)
+        bias = 1 << int(np.ceil(np.log2(h + w + 4)))
+
+        for lo, hi in lo_hi_list:
+            refs, fnds = [], []
+            for i in range(u):
+                ref = np.zeros((h, w), np.uint8)
+                cnts, _ = cv2.findContours(
+                    m[i], cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+                )
+                any_kept = False
+                for c in cnts:
+                    a = cv2.contourArea(c)
+                    if lo <= a <= hi:
+                        cv2.drawContours(ref, [c], -1, 255, -1)
+                        any_kept = True
+                refs.append(ref)
+                fnds.append(any_kept)
+            maxs = jnp.full((u,), min(2 * hi, 2**30), jnp.int32)
+            for tvhw in tiles:
+                kv, found = _green_filter_tiled(
+                    attr, contrib, hw, bias, jnp.int32(2 * lo), maxs,
+                    tile_vhw=tvhw,
+                )
+                # kept vertices -> kept blobs: a top pixel is kept iff any
+                # of its 4 vertices is kept (same rule filter_and_select
+                # uses to seed the flood)
+                kvn = np.asarray(kv)
+                seeds = np.asarray(top) & (
+                    kvn[:, :-1, :-1] | kvn[:, :-1, 1:]
+                    | kvn[:, 1:, :-1] | kvn[:, 1:, 1:]
+                )
+                for i in range(u):
+                    # every kept blob must be fully seeded, no unkept blob
+                    ref_i = refs[i] > 0
+                    top_i = np.asarray(top)[i]
+                    np.testing.assert_array_equal(
+                        seeds[i], top_i & ref_i,
+                        err_msg=f"unit {i} lo={lo} hi={hi} tile={tvhw}",
+                    )
+                    assert bool(np.asarray(found)[i]) == fnds[i]
+
+    def test_blob_spanning_many_tiles(self):
+        m = np.zeros((40, 64), np.uint8)
+        m[5:35, 3:60] = 255          # giant rectangle across all tiles
+        m[10:30, 10:50] = 0          # big hole
+        m[15:25, 20:40] = 255        # nested blob inside the hole
+        self._check(m, lo_hi_list=((0, 10**9), (100, 10**6), (0, 500)))
+
+    def test_ring_only_visit(self):
+        m = np.zeros((32, 32), np.uint8)
+        m[15, :] = 255               # 1px line crossing tile cuts
+        m[16, 0] = 255               # touches next tile-row only via ring
+        self._check(m)
+
+    def test_random_speckle_multiunit(self):
+        rng = np.random.RandomState(11)
+        m = (rng.rand(3, 30, 40) > 0.6).astype(np.uint8) * 255
+        self._check(m)
+
+    def test_dense_random_blobs(self):
+        rng = np.random.RandomState(23)
+        m = np.zeros((2, 48, 48), np.uint8)
+        for i in range(2):
+            for _ in range(25):
+                y, x = rng.randint(0, 40), rng.randint(0, 40)
+                m[i, y:y + rng.randint(2, 9), x:x + rng.randint(2, 9)] = 255
+        self._check(m)
+
+    def test_exact_area_boundaries(self):
+        # blob area exactly at lo and hi cutoffs, spanning a tile cut
+        m = np.zeros((20, 40), np.uint8)
+        m[4:8, 6:12] = 255           # contourArea (w-1)*(h-1) = 15
+        m[12:16, 20:30] = 255        # contourArea 27
+        self._check(m, lo_hi_list=((15, 27), (15, 26), (16, 27), (16, 26)))
+
+    def test_diagonal_and_single_pixels(self):
+        m = np.zeros((24, 24), np.uint8)
+        for i in range(10):
+            m[i + 2, i + 2] = 255    # diagonal line (area 0)
+        m[20, 5] = 255               # lone pixel (area 0)
+        m[2:5, 15:19] = 255
+        self._check(m, lo_hi_list=((0, 10**9), (0, 0), (1, 100)))

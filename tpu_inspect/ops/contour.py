@@ -58,19 +58,14 @@ class BlobAnalysis:
         return self.contour_area_x2.astype(jnp.float64) * 0.5
 
 
-def analyze_blobs(fg: jnp.ndarray) -> BlobAnalysis:
-    """fg: [U, H, W] bool candidate mask -> per-blob contour areas."""
-    u, h, w = fg.shape
-    hw = h * w
-    with jax.named_scope("blob_exterior"):
-        ext = exterior_background(fg)
-    fill = ~ext
-    with jax.named_scope("label_fill"):
-        fill_labels = cc.label_components(fill, plan="rc")
-    with jax.named_scope("label_fg"):
-        fg_labels = cc.label_components(fg, plan="rc")
-    top = fg & (fg_labels == fill_labels)
+def _vertex_attribution(
+    top: jnp.ndarray, ext: jnp.ndarray, fill_labels: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Crack-vertex Green's contributions + top-blob attribution.
 
+    Returns (attr [U, H+1, W+1] int32: owning top-blob root or -1,
+    contrib [U, H+1, W+1] int32: exact 2x-area contribution).
+    """
     # 3-state map padded with exterior (out-of-image is exterior)
     state = jnp.where(top, jnp.int32(2), jnp.where(ext, jnp.int32(1), jnp.int32(0)))
     sp = jnp.pad(state, ((0, 0), (1, 1), (1, 1)), constant_values=1)
@@ -108,6 +103,22 @@ def analyze_blobs(fg: jnp.ndarray) -> BlobAnalysis:
         jnp.maximum(lp[:, :-1, :-1], lp[:, :-1, 1:]),
         jnp.maximum(lp[:, 1:, :-1], lp[:, 1:, 1:]),
     )
+    return attr, contrib
+
+
+def analyze_blobs(fg: jnp.ndarray) -> BlobAnalysis:
+    """fg: [U, H, W] bool candidate mask -> per-blob contour areas."""
+    u, h, w = fg.shape
+    hw = h * w
+    with jax.named_scope("blob_exterior"):
+        ext = exterior_background(fg)
+    fill = ~ext
+    with jax.named_scope("label_fill"):
+        fill_labels = cc.label_components(fill, plan="rc")
+    with jax.named_scope("label_fg"):
+        fg_labels = cc.label_components(fg, plan="rc")
+    top = fg & (fg_labels == fill_labels)
+    attr, contrib = _vertex_attribution(top, ext, fill_labels)
 
     nv = (h + 1) * (w + 1)
     attr_flat = attr.reshape(u, nv)
@@ -178,6 +189,233 @@ def select_blobs(analysis: BlobAnalysis, keep: jnp.ndarray) -> jnp.ndarray:
     return reach
 
 
+def _green_filter_tiled(
+    attr: jnp.ndarray,
+    contrib: jnp.ndarray,
+    hw: int,
+    bias: int,
+    min_area_x2,
+    max_area_x2: jnp.ndarray,
+    tile_vhw: tuple[int, int] | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-blob Green's-sum filter for whole-image vertex planes.
+
+    Replaces filter_and_select's single global sort-by-attribution for
+    planes where (nv+1)*2*bias >= 2^31. Two structural problems at that
+    size: a single-segment [1, ~12M] sort costs ~266 ms on v5e (vs ~20 ms
+    for the same elements in [T, 64k] per-tile segments), and the int64
+    monotone-prefix scans the area sums would need lower to emulated
+    (u32,u32)-pair reduce-windows that exceed the 16 MB scoped-VMEM budget
+    inside fori_loop chains.
+
+    Same exactness argument as cc.largest_component_sums_tiled, applied to
+    the vertex plane: a blob's attributed vertex set (the union of the 2x2
+    vertex squares of its 8-connected pixel set) is itself 8-connected, so
+    if it spans a tile cut it has vertices on BOTH tiles' boundary rings.
+    Therefore per-tile runs whose key is absent from their tile's ring are
+    whole blobs (local signed Green's sum is the exact total), and every
+    cross-tile blob appears in the deduplicated (tile, key) ring table,
+    where partial sums aggregate exactly. The per-key table sums use
+    log-tree shifted adds in elementwise int64 — runs are at most T
+    entries long — so no int64 scan (and no giant scan at all) exists
+    anywhere on this path.
+
+    Returns (kv [U, H+1, W+1] bool kept-vertices, found [U] bool).
+    """
+    from tpu_inspect.ops.cc import _run_geometry
+
+    u, vh, vw = attr.shape
+    gsize = hw + 1
+    if u * gsize >= 2**31:
+        raise ValueError("tiled Green's filter needs u*(h*w+1) < 2^31")
+    gsent_i = u * gsize
+    gsent = jnp.int32(gsent_i)
+
+    if tile_vhw is None:
+        tvw = 512
+        tvh = max(8, min(256, (2**29 // bias) // tvw))  # in-tile sums < 2^30
+    else:
+        tvh, tvw = tile_vhw
+        assert tvh * tvw * 2 * bias < 2**31
+    nh, nw = -(-vh // tvh), -(-vw // tvw)
+    t_n = u * nh * nw
+    s = tvh * tvw
+
+    ukey = (jnp.arange(u, dtype=jnp.int32) * gsize)[:, None, None]
+    key_img = jnp.where(attr >= 0, attr + ukey, gsent)
+
+    def tile(x, fill):
+        xp = jnp.pad(
+            x,
+            ((0, 0), (0, nh * tvh - vh), (0, nw * tvw - vw)),
+            constant_values=fill,
+        )
+        return (
+            xp.reshape(u, nh, tvh, nw, tvw)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(t_n, tvh, tvw)
+        )
+
+    keys_t = tile(key_img, gsent_i)
+    con_f = tile(contrib, 0).reshape(t_n, s)
+    keys_f = keys_t.reshape(t_n, s)
+    svi = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :], (t_n, s))
+
+    # per-tile grouping: all vertices of key k in tile t form ONE run
+    sk, sv, si = jax.lax.sort((keys_f, con_f, svi), dimension=1, num_keys=1)
+    run_start, next_start, newrun = _run_geometry(sk)
+    idxs = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :], (t_n, s))
+    is_end = jnp.concatenate([newrun[:, 1:], jnp.ones((t_n, 1), bool)], axis=1)
+
+    # in-tile monotone prefix (int32 by tile-size construction)
+    p = jnp.cumsum(sv + bias, axis=1, dtype=jnp.int32)
+    end_vals = jnp.where(is_end, p, jnp.int32(-1))
+    prev_end = jax.lax.cummax(
+        jnp.concatenate(
+            [jnp.full((t_n, 1), -1, jnp.int32), end_vals[:, :-1]], axis=1
+        ),
+        axis=1,
+    )
+    prev_end = jnp.maximum(prev_end, 0)
+    total = p - prev_end - (idxs - run_start + 1) * bias  # signed, at ends
+
+    # boundary ring: every cross-tile blob has ring vertices in each tile
+    rr = jnp.concatenate(
+        [
+            jnp.zeros((tvw,), jnp.int32),
+            jnp.full((tvw,), tvh - 1, jnp.int32),
+            jnp.arange(tvh, dtype=jnp.int32),
+            jnp.arange(tvh, dtype=jnp.int32),
+        ]
+    )
+    rc = jnp.concatenate(
+        [
+            jnp.arange(tvw, dtype=jnp.int32),
+            jnp.arange(tvw, dtype=jnp.int32),
+            jnp.zeros((tvh,), jnp.int32),
+            jnp.full((tvh,), tvw - 1, jnp.int32),
+        ]
+    )
+    r_n = rr.shape[0]
+    ring_keys = keys_t[:, rr, rc]
+    ring_valid = ring_keys < gsent
+    pos = jax.vmap(jnp.searchsorted)(sk, ring_keys).astype(jnp.int32)
+    pos_c = jnp.clip(pos, 0, s - 1)
+    ring_end = jnp.take_along_axis(next_start, pos_c, axis=1) - 1
+    ring_par = jnp.take_along_axis(total, ring_end, axis=1)  # partial sum
+
+    # flag ring runs at their END positions (spill slot absorbs invalid)
+    end_f = jnp.where(ring_valid, ring_end, jnp.int32(s))
+    ring_flag = (
+        jnp.zeros((t_n, s + 1), bool)
+        .at[jnp.arange(t_n, dtype=jnp.int32)[:, None], end_f]
+        .set(True)[:, :s]
+    )
+
+    # global (tile, key) table: dedup, then sum partials per key
+    m = t_n * r_n
+    tgrid = jnp.broadcast_to(
+        jnp.arange(t_n, dtype=jnp.int64)[:, None], (t_n, r_n)
+    )
+    dsent = jnp.int64(2**62)
+    dkey = jnp.where(
+        ring_valid,
+        tgrid * jnp.int64(gsent_i + 1) + ring_keys.astype(jnp.int64),
+        dsent,
+    ).reshape(1, m)
+    gk_v = jnp.where(ring_valid, ring_keys, gsent).reshape(1, m)
+    p_v = jnp.where(ring_valid, ring_par, 0).reshape(1, m)
+    e_v = jnp.where(ring_valid, ring_end, jnp.int32(s)).reshape(1, m)
+    t_v = jnp.where(ring_valid, tgrid.astype(jnp.int32), 0).reshape(1, m)
+    dk_s, gk_s, p_s, e_s, t_s = jax.lax.sort(
+        (dkey, gk_v, p_v, e_v, t_v), dimension=1, num_keys=1
+    )
+    _, _, dnew = _run_geometry(dk_s)
+    uniq = dnew & (dk_s < dsent)
+    gk_u = jnp.where(uniq, gk_s, gsent)
+    p_u = jnp.where(uniq, p_s, 0)
+    e_u = jnp.where(uniq, e_s, jnp.int32(s))
+    t_u = jnp.where(uniq, t_s, 0)
+    gk2, p2, e2, t2 = jax.lax.sort(
+        (gk_u, p_u, e_u, t_u), dimension=1, num_keys=1
+    )
+
+    # segmented suffix-sum via log-tree shifted adds (runs <= t_n entries;
+    # elementwise int64 is fine — only int64 SCANS are forbidden)
+    ssum = p2.astype(jnp.int64)
+    d = 1
+    while d <= t_n:
+        same = jnp.concatenate(
+            [gk2[:, d:] == gk2[:, :-d], jnp.zeros((1, d), bool)], axis=1
+        )
+        shifted = jnp.concatenate(
+            [ssum[:, d:], jnp.zeros((1, d), jnp.int64)], axis=1
+        )
+        ssum = ssum + jnp.where(same, shifted, 0)
+        d *= 2
+
+    rs_g, ns_g, gnew = _run_geometry(gk2)
+    sabs = jnp.abs(ssum)
+    unit_e = jnp.clip(gk2 // gsize, 0, u - 1)
+    maxa_e = max_area_x2[unit_e]
+    dec = gnew & (gk2 < gsent) & (sabs >= min_area_x2) & (sabs <= maxa_e)
+    # fill the start-decision forward through the run (doubling OR)
+    d = 1
+    while d <= t_n:
+        prev_same = jnp.concatenate(
+            [jnp.zeros((1, d), bool), gk2[:, :-d] == gk2[:, d:]], axis=1
+        )
+        prev_dec = jnp.concatenate(
+            [jnp.zeros((1, d), bool), dec[:, :-d]], axis=1
+        )
+        dec = dec | (prev_same & prev_dec)
+        d *= 2
+
+    # scatter per-(tile,key) decisions to their runs' END positions
+    lin = t2 * (s + 1) + jnp.minimum(e2, s)
+    ring_dec = (
+        jnp.zeros((t_n * (s + 1),), jnp.int32)
+        .at[lin[0]]
+        .max(dec[0].astype(jnp.int32))
+        .reshape(t_n, s + 1)[:, :s]
+        > 0
+    )
+
+    # interior runs decide locally; ring runs use the global table
+    valid_end = is_end & (sk < gsent)
+    tidx = jnp.arange(t_n, dtype=jnp.int32) // (nh * nw)
+    maxa_t = max_area_x2[tidx][:, None]
+    area_l = jnp.abs(total)
+    dec_local = (
+        valid_end
+        & ~ring_flag
+        & (area_l >= min_area_x2)
+        & (area_l <= maxa_t)
+    )
+    dec_end = dec_local | (ring_flag & ring_dec & valid_end)
+    found = (
+        dec_end.any(axis=1).reshape(u, nh * nw).any(axis=1)
+    )
+
+    # broadcast run-wide (reverse cummin of 2*end_idx + decision), invert
+    # the per-tile sort, un-tile
+    end_code = jnp.where(
+        is_end, 2 * idxs + dec_end.astype(jnp.int32), jnp.int32(2**30)
+    )
+    my_end = jax.lax.cummin(end_code, axis=1, reverse=True)
+    dec_all = (my_end & 1) == 1
+    _, dec_orig = jax.lax.sort(
+        (si, dec_all.astype(jnp.int32)), dimension=1, num_keys=1
+    )
+    kv = (
+        dec_orig.reshape(u, nh, nw, tvh, tvw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(u, nh * tvh, nw * tvw)[:, :vh, :vw]
+        > 0
+    )
+    return kv, found
+
+
 def filter_and_select(
     fg: jnp.ndarray, min_area_x2, max_area_x2
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -240,136 +478,69 @@ def filter_and_select(
         )
         return out, out.any(axis=(1, 2))
 
-    state = jnp.where(top, jnp.int32(2), jnp.where(ext, jnp.int32(1), jnp.int32(0)))
-    sp = jnp.pad(state, ((0, 0), (1, 1), (1, 1)), constant_values=1)
-    cfg = (
-        sp[:, :-1, :-1] + 3 * sp[:, :-1, 1:] + 9 * sp[:, 1:, :-1] + 27 * sp[:, 1:, 1:]
-    )
-    tbl = np.asarray(CONTOUR_TABLE_X2)
-
-    def coef(col):
-        out = jnp.zeros(cfg.shape, dtype=jnp.int32)
-        for c in np.nonzero(tbl[:, col] == 1)[0]:
-            out = out + (cfg == int(c)).astype(jnp.int32)
-        for c in np.nonzero(tbl[:, col] == -1)[0]:
-            out = out - (cfg == int(c)).astype(jnp.int32)
-        return out
-
-    vx = jax.lax.broadcasted_iota(jnp.int32, cfg.shape, 2)
-    vy = jax.lax.broadcasted_iota(jnp.int32, cfg.shape, 1)
-    contrib = coef(0) + coef(1) * vx + coef(2) * vy
-
-    lab_top = jnp.where(top, fill_labels, jnp.int32(-1))
-    lp = jnp.pad(lab_top, ((0, 0), (1, 1), (1, 1)), constant_values=-1)
-    attr = jnp.maximum(
-        jnp.maximum(lp[:, :-1, :-1], lp[:, :-1, 1:]),
-        jnp.maximum(lp[:, 1:, :-1], lp[:, 1:, 1:]),
-    )
+    attr, contrib = _vertex_attribution(top, ext, fill_labels)
 
     nv = (h + 1) * (w + 1)
-    keys = jnp.where(attr >= 0, attr, jnp.int32(hw)).reshape(u, nv)
-    vidx = jnp.broadcast_to(jnp.arange(nv, dtype=jnp.int32)[None, :], (u, nv))
     bias = 1 << int(np.ceil(np.log2(h + w + 4)))  # > max |contribution|
     big = (nv + 1) * (2 * bias)
-    sum_dtype = jnp.int32 if big < 2**31 else jnp.int64
 
-    sk, sv, svi = jax.lax.sort(
-        (keys, contrib.reshape(u, nv), vidx), dimension=1, num_keys=1
-    )
-    run_start, next_start, newrun = _run_geometry(sk)
-    idx = jnp.broadcast_to(jnp.arange(nv, dtype=jnp.int32)[None, :], (u, nv))
-    is_end = jnp.concatenate([newrun[:, 1:], jnp.ones((u, 1), bool)], axis=1)
-
-    # monotonic prefix: P'[i] = sum(sv[:i+1] + bias) grows strictly
-    if sum_dtype == jnp.int64:
-        # Whole-image planes: int64 cumsum/cummax on TPU are emulated as
-        # (u32, u32)-pair reduce-window scans whose hierarchical stages
-        # blow the 16 MB scoped-VMEM budget at ~12M elements (observed:
-        # 19.07M scoped alloc inside a fori_loop). Two-level scan instead:
-        # int32 prefix ops within blocks sized so block sums stay < 2^31,
-        # with a tiny int64 carry across the ~nv/B block summaries.
-        blk = 1 << (30 - int(bias).bit_length())
-        assert blk >= 128, "bias too large for two-level int32 scan"
-        nb = -(-nv // blk)
-        pad_n = nb * blk - nv
-        x32 = jnp.pad((sv + bias).astype(jnp.int32), ((0, 0), (0, pad_n)))
-        c_in = jnp.cumsum(x32.reshape(u, nb, blk), axis=2, dtype=jnp.int32)
-        blk_tot = c_in[:, :, -1]  # each < 2^30
-        # exclusive cross-block offsets WITHOUT an int64 scan (any emulated
-        # int64 reduce-window scan, even over nb~200 elements, lands in the
-        # same over-budget fusion): cumsum the 16-bit halves in int32
-        # (max nb * 2^16 and nb * 2^14 both << 2^31), recombine in int64.
-        lo_c = jnp.cumsum(blk_tot & 0xFFFF, axis=1, dtype=jnp.int32)
-        hi_c = jnp.cumsum(blk_tot >> 16, axis=1, dtype=jnp.int32)
-        incl = hi_c.astype(jnp.int64) * 65536 + lo_c.astype(jnp.int64)
-        blk_off = incl - blk_tot.astype(jnp.int64)  # exclusive
-        p_mono = (
-            (c_in.astype(jnp.int64) + blk_off[:, :, None])
-            .reshape(u, nb * blk)[:, :nv]
-        )
-        # prev_end = shifted prefix-max of per-run end values. p_mono is
-        # strictly increasing, so the prefix max IS the value at the most
-        # recent end: in-block int32 cummax of block-relative prefixes,
-        # plus a cross-block carry selected by an int32 index cummax over
-        # the nb block summaries (no int64 scan anywhere).
-        ie_b = jnp.pad(is_end, ((0, 0), (0, pad_n))).reshape(u, nb, blk)
-        cm_in = jax.lax.cummax(
-            jnp.where(ie_b, c_in, jnp.int32(-1)), axis=2
-        )
-        abs_in = jnp.where(
-            cm_in >= 0,
-            cm_in.astype(jnp.int64) + blk_off[:, :, None],
-            jnp.int64(-1),
-        )
-        blk_last = abs_in[:, :, -1]  # [u, nb] last end value in block or -1
-        iota_b = jax.lax.broadcasted_iota(jnp.int32, (u, nb), 1)
-        last_idx = jax.lax.cummax(
-            jnp.where(blk_last >= 0, iota_b, jnp.int32(-1)), axis=1
-        )
-        prev_idx = jnp.concatenate(
-            [jnp.full((u, 1), -1, jnp.int32), last_idx[:, :-1]], axis=1
-        )
-        carry = jnp.where(
-            prev_idx >= 0,
-            jnp.take_along_axis(
-                blk_last, jnp.maximum(prev_idx, 0), axis=1
-            ),
-            jnp.int64(-1),
-        )
-        m_incl = jnp.maximum(abs_in, carry[:, :, None]).reshape(u, nb * blk)
-        prev_end = jnp.concatenate(
-            [jnp.full((u, 1), -1, jnp.int64), m_incl[:, : nv - 1]], axis=1
+    if big >= 2**31:
+        # Whole-image planes: a single-segment [1, nv~12M] sort costs
+        # ~266 ms on v5e where the same elements in [T, 64k] per-tile
+        # segments sort in ~20 ms, and the emulated-int64 prefix scans the
+        # monotone trick would need blow the 16 MB scoped-VMEM budget
+        # inside fori_loop chains. Route to the tiled Green's filter.
+        kv, found = _green_filter_tiled(
+            attr, contrib, hw, bias, min_area_x2, max_area_x2
         )
     else:
-        p_mono = jnp.cumsum((sv + bias).astype(sum_dtype), axis=1)
-        end_vals = jnp.where(is_end, p_mono, jnp.asarray(-1, sum_dtype))
+        keys = jnp.where(attr >= 0, attr, jnp.int32(hw)).reshape(u, nv)
+        vidx = jnp.broadcast_to(
+            jnp.arange(nv, dtype=jnp.int32)[None, :], (u, nv)
+        )
+        sk, sv, svi = jax.lax.sort(
+            (keys, contrib.reshape(u, nv), vidx), dimension=1, num_keys=1
+        )
+        run_start, next_start, newrun = _run_geometry(sk)
+        idx = jnp.broadcast_to(
+            jnp.arange(nv, dtype=jnp.int32)[None, :], (u, nv)
+        )
+        is_end = jnp.concatenate(
+            [newrun[:, 1:], jnp.ones((u, 1), bool)], axis=1
+        )
+
+        # monotonic prefix: P'[i] = sum(sv[:i+1] + bias) grows strictly
+        p_mono = jnp.cumsum(sv + bias, axis=1, dtype=jnp.int32)
+        end_vals = jnp.where(is_end, p_mono, jnp.int32(-1))
         prev_end = jax.lax.cummax(
             jnp.concatenate(
-                [jnp.full((u, 1), -1, sum_dtype), end_vals[:, :-1]], axis=1
+                [jnp.full((u, 1), -1, jnp.int32), end_vals[:, :-1]], axis=1
             ),
             axis=1,
         )
-    prev_end = jnp.maximum(prev_end, 0)
-    run_len = (idx - run_start + 1).astype(sum_dtype)
-    total = p_mono - prev_end - run_len * bias  # signed 2x Green's sum
-    area_x2 = jnp.abs(total).astype(jnp.int32)
+        prev_end = jnp.maximum(prev_end, 0)
+        run_len = idx - run_start + 1
+        total = p_mono - prev_end - run_len * bias  # signed 2x Green's sum
+        area_x2 = jnp.abs(total)
 
-    valid_end = is_end & (sk < hw)
-    dec_end = valid_end & (area_x2 >= min_area_x2) & (
-        area_x2 <= max_area_x2[:, None]
-    )
-    found = dec_end.any(axis=1)
+        valid_end = is_end & (sk < hw)
+        dec_end = valid_end & (area_x2 >= min_area_x2) & (
+            area_x2 <= max_area_x2[:, None]
+        )
+        found = dec_end.any(axis=1)
 
-    # broadcast each run's end-decision to all its members: nearest end >= i
-    end_code = jnp.where(is_end, 2 * idx + dec_end.astype(jnp.int32), jnp.int32(2**30))
-    my_end = jax.lax.cummin(end_code, axis=1, reverse=True)
-    dec_all = (my_end & 1) == 1
+        # broadcast each run's end-decision to its members: nearest end >= i
+        end_code = jnp.where(
+            is_end, 2 * idx + dec_end.astype(jnp.int32), jnp.int32(2**30)
+        )
+        my_end = jax.lax.cummin(end_code, axis=1, reverse=True)
+        dec_all = (my_end & 1) == 1
 
-    # inverse map: sort by original vertex index (a sort beats a scatter)
-    _, dec_vertex = jax.lax.sort(
-        (svi, dec_all.astype(jnp.int32)), dimension=1, num_keys=1
-    )
-    kv = dec_vertex.reshape(u, h + 1, w + 1) > 0
+        # inverse map: sort by original vertex index (beats a scatter)
+        _, dec_vertex = jax.lax.sort(
+            (svi, dec_all.astype(jnp.int32)), dimension=1, num_keys=1
+        )
+        kv = dec_vertex.reshape(u, h + 1, w + 1) > 0
     seeds = top & (
         kv[:, :-1, :-1] | kv[:, :-1, 1:] | kv[:, 1:, :-1] | kv[:, 1:, 1:]
     )
