@@ -422,3 +422,48 @@ class TestGreenFilterTiled:
         m[20, 5] = 255               # lone pixel (area 0)
         m[2:5, 15:19] = 255
         self._check(m, lo_hi_list=((0, 10**9), (0, 0), (1, 100)))
+
+
+def test_seg_cummin_chunked_parity():
+    """_seg_cummin on planes big enough to overflow int32 keys routes
+    through the chunked int32 formulation (no int64, no full-axis scans);
+    must match a brute-force segmented min exactly."""
+    import jax.numpy as jnp
+
+    from tpu_inspect.ops import cc
+
+    rng = np.random.RandomState(7)
+    h, w = 1200, 1800  # k = 2^22; (w+1)*k >= 2^31 -> chunked on both axes
+    hw = h * w
+    k = 1 << int(np.ceil(np.log2(hw + 2)))
+    assert (w + 1) * k >= 2**31 and (h + 1) * k >= 2**31
+    fg = rng.rand(1, h, w) > 0.35
+    vals = rng.randint(0, hw, size=(1, h, w)).astype(np.int32)
+
+    def ref_axis(v, f, axis):
+        out = v.copy()
+        vm = np.moveaxis(out, axis, -1)
+        fm = np.moveaxis(f, axis, -1)
+        flat_v = vm.reshape(-1, vm.shape[-1])
+        flat_f = fm.reshape(-1, fm.shape[-1])
+        for r in range(flat_v.shape[0]):
+            j = 0
+            n = flat_v.shape[1]
+            while j < n:
+                if not flat_f[r, j]:
+                    j += 1
+                    continue
+                e = j
+                while e < n and flat_f[r, e]:
+                    e += 1
+                m = flat_v[r, j:e].min()
+                flat_v[r, j:e] = m
+                j = e
+        return out
+
+    for axis in (1, 2):
+        got = np.asarray(
+            cc._seg_cummin(jnp.asarray(vals), jnp.asarray(fg), axis=axis)
+        )
+        want = ref_axis(vals, fg, axis)
+        np.testing.assert_array_equal(got, want)

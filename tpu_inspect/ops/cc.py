@@ -49,6 +49,11 @@ def _seg_cummin(vals: jnp.ndarray, fg: jnp.ndarray, axis: int) -> jnp.ndarray:
     hw = int(np.prod(vals.shape[1:])) if vals.ndim == 3 else n
     k = 1 << max(2, int(np.ceil(np.log2(hw + 2))))
     use_i64 = (n + 1) * k >= 2**31
+    if use_i64 and (2**30 // k) >= 8:
+        # whole-image planes: int64 keys would lower to emulated
+        # (u32,u32)-pair scans (~2x the bandwidth, and fragile inside big
+        # fusions) — chunk the axis so keys stay int32
+        return _seg_cummin_chunked(vals, fg, axis, k)
     dt = jnp.int64 if use_i64 else jnp.int32
     kk = jnp.asarray(k, dtype=dt)
 
@@ -65,6 +70,79 @@ def _seg_cummin(vals: jnp.ndarray, fg: jnp.ndarray, axis: int) -> jnp.ndarray:
         return (m + ids * kk).astype(jnp.int32)
 
     out = jnp.minimum(directed(False), directed(True))
+    return jnp.where(fg, jnp.minimum(out, vals), vals)
+
+
+def _shift_along(x: jnp.ndarray, d: int, axis: int, fill) -> jnp.ndarray:
+    """x shifted +d along `axis`, vacated slots filled with `fill`."""
+    sl = jax.lax.slice_in_dim(x, 0, x.shape[axis] - d, axis=axis)
+    blk = jnp.full(
+        x.shape[:axis] + (d,) + x.shape[axis + 1 :], fill, x.dtype
+    )
+    return jnp.concatenate([blk, sl], axis=axis)
+
+
+def _seg_cummin_chunked(
+    vals: jnp.ndarray, fg: jnp.ndarray, axis: int, k: int
+) -> jnp.ndarray:
+    """_seg_cummin for planes where (n+1)*K overflows int32.
+
+    The axis is chunked into blocks of B = 2^30/K elements: within a
+    chunk, run ids restart at 0 so ``val - id*K`` stays within int32 and
+    one length-B int32 cummin resolves in-chunk prefixes. Cross-chunk
+    propagation rides the tiny [.., nb, ..] chunk-summary plane: the min
+    of the run portion before chunk c is ``carry(c) = min(tail(c-1),
+    carry(c-1) if chunk c-1 is bg-free)`` — an inclusive segmented prefix
+    min computed by Hillis-Steele doubling (log2(nb) elementwise rounds,
+    no scan op). carry applies exactly to positions still in their
+    chunk's leading run (in-chunk id == 0). No int64 anywhere, and no
+    full-axis scan: the only scan ops are length-B windows.
+    """
+    B = 2**30 // k
+    n = vals.shape[axis]
+    nb = -(-n // B)
+    pads = [(0, 0)] * vals.ndim
+    pads[axis] = (0, nb * B - n)
+    v = jnp.pad(
+        jnp.where(fg, vals, k - 1), pads, constant_values=k - 1
+    )
+    f = jnp.pad(fg, pads, constant_values=False)
+    cshape = v.shape[:axis] + (nb, B) + v.shape[axis + 1 :]
+    ax_nb, ax_b = axis, axis + 1
+    big = jnp.int32(k - 1)
+
+    def forward(vq, fq):
+        vq = vq.reshape(cshape)
+        fq = fq.reshape(cshape)
+        ids_in = jnp.cumsum((~fq).astype(jnp.int32), axis=ax_b)
+        key = vq - ids_in * k
+        local = jax.lax.cummin(key, axis=ax_b) + ids_in * k
+        tail = jax.lax.index_in_dim(local, B - 1, axis=ax_b, keepdims=False)
+        bg_free = (
+            jax.lax.index_in_dim(ids_in, B - 1, axis=ax_b, keepdims=False)
+            == 0
+        )
+        t = _shift_along(tail, 1, ax_nb, big)
+        brk = ~_shift_along(bg_free, 1, ax_nb, False)
+        d = 1
+        while d < nb:
+            t_s = _shift_along(t, d, ax_nb, big)
+            b_s = _shift_along(brk, d, ax_nb, True)
+            t = jnp.where(brk, t, jnp.minimum(t, t_s))
+            brk = brk | b_s
+            d *= 2
+        carry = jnp.expand_dims(t, ax_b)
+        out = jnp.where(
+            fq & (ids_in == 0), jnp.minimum(local, carry), local
+        )
+        return out.reshape(v.shape)
+
+    fwd = forward(v, f)
+    rev = jnp.flip(
+        forward(jnp.flip(v, axis=axis), jnp.flip(f, axis=axis)), axis=axis
+    )
+    out = jnp.minimum(fwd, rev)
+    out = jax.lax.slice_in_dim(out, 0, n, axis=axis)
     return jnp.where(fg, jnp.minimum(out, vals), vals)
 
 
