@@ -470,12 +470,29 @@ def largest_component_sums_tiled(
     keys_t = tile(key_img, u * hw)
     br_t = tile(br_img, 0).reshape(t_n, thw)
     keys_f = keys_t.reshape(t_n, thw)
+    svi = jnp.broadcast_to(
+        jnp.arange(thw, dtype=jnp.int32)[None, :], (t_n, thw)
+    )
 
     # per-tile runs; num_keys=2 puts each run's min block rank at its start
-    s, br2 = jax.lax.sort((keys_f, br_t), dimension=1, num_keys=2)
+    s, br2, si = jax.lax.sort((keys_f, br_t, svi), dimension=1, num_keys=2)
     run_start, next_start, newrun = _run_geometry(s)
     run_len = next_start - run_start
     valid = newrun & (s < sent)
+
+    # ring membership is ARITHMETIC on the carried original index: a
+    # position is on its tile's boundary ring iff its row/col is extremal
+    sr_, sc_ = si // tw, si % tw
+    rf = (
+        (sr_ == 0) | (sr_ == th - 1) | (sc_ == 0) | (sc_ == tw - 1)
+    ).astype(jnp.int32)
+    # run-level ring membership, valid at START positions: reverse cummin
+    # of 2*run_start + (1 - flag) — earlier runs strictly dominate the
+    # suffix min, so at a run's start the min is 2*own_start iff the run
+    # has a ring pixel
+    rcmin = jax.lax.cummin(2 * run_start + (1 - rf), axis=1, reverse=True)
+    ring_any = rcmin == 2 * run_start
+    idxs = svi  # unsorted iota view for the inverse sort below
 
     # boundary-ring lookup: ring pixel keys -> their runs (searchsorted
     # 'left' on the sorted keys IS the run start)
@@ -498,22 +515,27 @@ def largest_component_sums_tiled(
     r_n = ring_r.shape[0]
     ring_keys = keys_t[:, ring_r, ring_c]  # [T, R]
     ring_valid = ring_keys < sent
-    pos = jax.vmap(jnp.searchsorted)(s, ring_keys).astype(jnp.int32)
-    pos_c = jnp.clip(pos, 0, thw - 1)
-    ring_area = jnp.take_along_axis(run_len, pos_c, axis=1)
-    ring_br = jnp.take_along_axis(br2, pos_c, axis=1)
-
-    # flag ring runs so interior candidates exclude them (extra slot
-    # absorbs invalid entries; no clipping onto a real run)
-    pos_f = jnp.where(ring_valid, pos_c, jnp.int32(thw))
-    ring_flag = (
-        jnp.zeros((t_n, thw + 1), bool)
-        .at[jnp.arange(t_n, dtype=jnp.int32)[:, None], pos_f]
-        .set(True)[:, :thw]
+    # ring entries' sorted positions via the inverse permutation — a
+    # multi-segment sort where a vmapped searchsorted is a ~27 ms
+    # binary-search while loop at this size. Ring positions are STATIC,
+    # so extracting them from inv is pure border slicing; (run_start,
+    # run_len) ride ONE packed int64 gather.
+    _, inv = jax.lax.sort((si, idxs), dimension=1, num_keys=1)
+    inv2 = inv.reshape(t_n, th, tw)
+    pos_e = jnp.concatenate(
+        [inv2[:, 0, :], inv2[:, th - 1, :], inv2[:, :, 0], inv2[:, :, tw - 1]],
+        axis=1,
     )
+    rl_pack = (
+        run_start.astype(jnp.int64) * (thw + 1) + run_len.astype(jnp.int64)
+    )
+    rl_r = jnp.take_along_axis(rl_pack, pos_e, axis=1)
+    rs_r = (rl_r // (thw + 1)).astype(jnp.int32)
+    ring_area = (rl_r % (thw + 1)).astype(jnp.int32)
+    ring_br = jnp.take_along_axis(br2, rs_r, axis=1)  # min br at run start
 
     # interior candidates: best non-ring run per tile
-    cand = valid & ~ring_flag
+    cand = valid & ~ring_any
     area_c = jnp.where(cand, run_len, 0)
     amax_int = area_c.max(axis=1)
     br_c = jnp.where(cand & (run_len == amax_int[:, None]), br2, brbig)
@@ -529,44 +551,58 @@ def largest_component_sums_tiled(
     int_area = jnp.where(int_ok, amax_int, 0)
     int_br = jnp.where(int_ok, brmin_int, brbig)
 
-    # ring aggregation: dedup (tile, root) fragments, then sum per root
+    # ring aggregation table, sorted ONCE with a key-major composite: the
+    # same order both dedups (root, tile) pairs (adjacent) and groups
+    # entries per root (contiguous runs)
     m = t_n * r_n
-    tgrid = jnp.broadcast_to(
-        jnp.arange(t_n, dtype=jnp.int64)[:, None], (t_n, r_n)
+    tgrid32 = jnp.broadcast_to(
+        jnp.arange(t_n, dtype=jnp.int32)[:, None], (t_n, r_n)
     )
     dsent = jnp.int64(2**62)
     dkey = jnp.where(
         ring_valid,
-        tgrid * jnp.int64(u * hw + 1) + ring_keys.astype(jnp.int64),
+        ring_keys.astype(jnp.int64) * t_n + tgrid32.astype(jnp.int64),
         dsent,
     ).reshape(1, m)
-    key_v = jnp.where(ring_valid, ring_keys, sent).reshape(1, m)
-    area_v = jnp.where(ring_valid, ring_area, 0).reshape(1, m)
-    br_v = jnp.where(ring_valid, ring_br, brbig).reshape(1, m)
-    dk_s, key_s, area_s, br_s = jax.lax.sort(
-        (dkey, key_v, area_v, br_v), dimension=1, num_keys=1
-    )
+    # (area, br) ride the sort as ONE packed int64 payload
+    pay = (
+        jnp.where(ring_valid, ring_area, 0).astype(jnp.int64) * (2**31)
+        + jnp.where(ring_valid, ring_br, brbig).astype(jnp.int64)
+    ).reshape(1, m)
+    dk_s, pay_s = jax.lax.sort((dkey, pay), dimension=1, num_keys=1)
+    k2 = jnp.where(dk_s < dsent, (dk_s // t_n).astype(jnp.int32), sent)
     _, _, dnew = _run_geometry(dk_s)
     uniq = dnew & (dk_s < dsent)
-    key_u = jnp.where(uniq, key_s, sent)
-    area_u = jnp.where(uniq, area_s, 0)
-    br_u = jnp.where(uniq, br_s, brbig)
-    # num_keys=2: run-start block rank is the per-root min; duplicate-free
-    # areas sum per run via a cumsum difference
-    k2, b2, a2 = jax.lax.sort((key_u, br_u, area_u), dimension=1, num_keys=2)
-    rs2, ns2, nr2 = _run_geometry(k2)
-    csum = jnp.cumsum(a2, axis=1, dtype=jnp.int32)
-
-    def take1(arr, idx):
-        return jnp.take_along_axis(arr, jnp.clip(idx, 0, m - 1), axis=1)
-
-    tot = take1(csum, ns2 - 1) - jnp.where(
-        rs2 > 0, take1(csum, rs2 - 1), jnp.int32(0)
+    a_u = jnp.where(uniq, (pay_s >> 31).astype(jnp.int32), 0)
+    b_u = jnp.where(
+        uniq, (pay_s % (2**31)).astype(jnp.int32), brbig
     )
-    ring_cand = nr2 & (k2 < sent)
+
+    # per-root suffix aggregates via log-tree shifted ops (int32; areas
+    # and their per-root sums are bounded by hw). Duplicate (root, tile)
+    # entries ride along neutralized, so the doubling bound is the table.
+    tot = a_u
+    brm = b_u
+    d = 1
+    while d < m:
+        same = jnp.concatenate(
+            [k2[:, d:] == k2[:, :-d], jnp.zeros((1, d), bool)], axis=1
+        )
+        tot_s = jnp.concatenate(
+            [tot[:, d:], jnp.zeros((1, d), jnp.int32)], axis=1
+        )
+        brm_s = jnp.concatenate(
+            [brm[:, d:], jnp.full((1, d), brbig, jnp.int32)], axis=1
+        )
+        tot = tot + jnp.where(same, tot_s, 0)
+        brm = jnp.minimum(brm, jnp.where(same, brm_s, brbig))
+        d *= 2
+
+    _, _, knew = _run_geometry(k2)
+    ring_cand = knew & (k2 < sent)
     ring_key_c = jnp.where(ring_cand, k2, sent)[0]
     ring_area_c = jnp.where(ring_cand, tot, 0)[0]
-    ring_br_c = jnp.where(ring_cand, b2, brbig)[0]
+    ring_br_c = jnp.where(ring_cand, brm, brbig)[0]
 
     # winner per unit across both candidate sets
     all_key = jnp.concatenate([int_key, ring_key_c])

@@ -267,6 +267,19 @@ def _green_filter_tiled(
     idxs = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :], (t_n, s))
     is_end = jnp.concatenate([newrun[:, 1:], jnp.ones((t_n, 1), bool)], axis=1)
 
+    # ring membership is ARITHMETIC on the carried original index (no
+    # extra sort operand): a position is on its tile's boundary ring iff
+    # its row or column is extremal
+    sr, sc = si // tvw, si % tvw
+    rf = (
+        (sr == 0) | (sr == tvh - 1) | (sc == 0) | (sc == tvw - 1)
+    ).astype(jnp.int32)
+    # run-level ring membership, valid at END positions: forward cummax of
+    # 2*run_start + flag — later runs strictly dominate, so at a run's end
+    # the max is 2*own_start + OR(flag over the run)
+    fmax = jax.lax.cummax(2 * run_start + rf, axis=1)
+    ring_any = (fmax & 1) == 1
+
     # in-tile monotone prefix (int32 by tile-size construction)
     p = jnp.cumsum(sv + bias, axis=1, dtype=jnp.int32)
     end_vals = jnp.where(is_end, p, jnp.int32(-1))
@@ -299,52 +312,61 @@ def _green_filter_tiled(
     r_n = rr.shape[0]
     ring_keys = keys_t[:, rr, rc]
     ring_valid = ring_keys < gsent
-    pos = jax.vmap(jnp.searchsorted)(sk, ring_keys).astype(jnp.int32)
-    pos_c = jnp.clip(pos, 0, s - 1)
-    ring_end = jnp.take_along_axis(next_start, pos_c, axis=1) - 1
+    # ring entries' sorted positions come from the inverse permutation
+    # (one multi-segment sort) instead of a vmapped searchsorted — the
+    # binary-search while loop cost ~48 ms at this size. Ring positions
+    # are STATIC, so extracting them from inv is pure border slicing.
+    _, inv = jax.lax.sort((si, idxs), dimension=1, num_keys=1)
+    inv2 = inv.reshape(t_n, tvh, tvw)
+    pos_r = jnp.concatenate(
+        [inv2[:, 0, :], inv2[:, tvh - 1, :], inv2[:, :, 0], inv2[:, :, tvw - 1]],
+        axis=1,
+    )
+    ring_end = jnp.take_along_axis(next_start, pos_r, axis=1) - 1
     ring_par = jnp.take_along_axis(total, ring_end, axis=1)  # partial sum
 
-    # flag ring runs at their END positions (spill slot absorbs invalid)
-    end_f = jnp.where(ring_valid, ring_end, jnp.int32(s))
-    ring_flag = (
-        jnp.zeros((t_n, s + 1), bool)
-        .at[jnp.arange(t_n, dtype=jnp.int32)[:, None], end_f]
-        .set(True)[:, :s]
-    )
-
-    # global (tile, key) table: dedup, then sum partials per key
+    # global (tile, key) table, sorted ONCE with a key-major composite:
+    # the same order both dedups (key, tile) pairs (adjacent) and groups
+    # entries per key (contiguous runs) — two single-segment sorts were
+    # ~35 ms here; one 2-operand sort + tiny gathers is ~5 ms
     m = t_n * r_n
-    tgrid = jnp.broadcast_to(
-        jnp.arange(t_n, dtype=jnp.int64)[:, None], (t_n, r_n)
+    if t_n >= 1 << 13 or s >= 1 << 18:
+        raise ValueError("tile grid too large for packed ring table")
+    tgrid32 = jnp.broadcast_to(
+        jnp.arange(t_n, dtype=jnp.int32)[:, None], (t_n, r_n)
     )
     dsent = jnp.int64(2**62)
     dkey = jnp.where(
         ring_valid,
-        tgrid * jnp.int64(gsent_i + 1) + ring_keys.astype(jnp.int64),
+        ring_keys.astype(jnp.int64) * t_n + tgrid32.astype(jnp.int64),
         dsent,
     ).reshape(1, m)
-    gk_v = jnp.where(ring_valid, ring_keys, gsent).reshape(1, m)
-    p_v = jnp.where(ring_valid, ring_par, 0).reshape(1, m)
-    e_v = jnp.where(ring_valid, ring_end, jnp.int32(s)).reshape(1, m)
-    t_v = jnp.where(ring_valid, tgrid.astype(jnp.int32), 0).reshape(1, m)
-    dk_s, gk_s, p_s, e_s, t_s = jax.lax.sort(
-        (dkey, gk_v, p_v, e_v, t_v), dimension=1, num_keys=1
+    # one sorted gather of a packed (partial, endpos, tile) int64 instead
+    # of three separate permutation gathers
+    pack = (
+        (jnp.where(ring_valid, ring_par, 0).astype(jnp.int64) + 2**30)
+        * jnp.int64(2**31)
+        + jnp.where(ring_valid, ring_end, jnp.int32(s)).astype(jnp.int64)
+        * jnp.int64(1 << 13)
+        + tgrid32.astype(jnp.int64)
+    ).reshape(1, m)
+    dk_s, pk_s = jax.lax.sort((dkey, pack), dimension=1, num_keys=1)
+    gk2 = jnp.where(
+        dk_s < dsent, (dk_s // t_n).astype(jnp.int32), gsent
     )
+    t2 = (pk_s % (1 << 13)).astype(jnp.int32)
+    e2 = ((pk_s >> 13) % (1 << 18)).astype(jnp.int32)
+    p2r = ((pk_s >> 31) - 2**30).astype(jnp.int32)
     _, _, dnew = _run_geometry(dk_s)
     uniq = dnew & (dk_s < dsent)
-    gk_u = jnp.where(uniq, gk_s, gsent)
-    p_u = jnp.where(uniq, p_s, 0)
-    e_u = jnp.where(uniq, e_s, jnp.int32(s))
-    t_u = jnp.where(uniq, t_s, 0)
-    gk2, p2, e2, t2 = jax.lax.sort(
-        (gk_u, p_u, e_u, t_u), dimension=1, num_keys=1
-    )
+    p_u = jnp.where(uniq, p2r, 0)
 
-    # segmented suffix-sum via log-tree shifted adds (runs <= t_n entries;
-    # elementwise int64 is fine — only int64 SCANS are forbidden)
-    ssum = p2.astype(jnp.int64)
+    # per-key suffix-sum via log-tree shifted adds (elementwise int64 is
+    # fine — only int64 SCANS are forbidden; duplicate (key,tile) entries
+    # ride along zeroed, so the doubling bound is the table size)
+    ssum = p_u.astype(jnp.int64)
     d = 1
-    while d <= t_n:
+    while d < m:
         same = jnp.concatenate(
             [gk2[:, d:] == gk2[:, :-d], jnp.zeros((1, d), bool)], axis=1
         )
@@ -354,14 +376,14 @@ def _green_filter_tiled(
         ssum = ssum + jnp.where(same, shifted, 0)
         d *= 2
 
-    rs_g, ns_g, gnew = _run_geometry(gk2)
+    _, _, gnew = _run_geometry(gk2)
     sabs = jnp.abs(ssum)
     unit_e = jnp.clip(gk2 // gsize, 0, u - 1)
     maxa_e = max_area_x2[unit_e]
     dec = gnew & (gk2 < gsent) & (sabs >= min_area_x2) & (sabs <= maxa_e)
     # fill the start-decision forward through the run (doubling OR)
     d = 1
-    while d <= t_n:
+    while d < m:
         prev_same = jnp.concatenate(
             [jnp.zeros((1, d), bool), gk2[:, :-d] == gk2[:, d:]], axis=1
         )
@@ -372,6 +394,7 @@ def _green_filter_tiled(
         d *= 2
 
     # scatter per-(tile,key) decisions to their runs' END positions
+    # (duplicates write the same value; invalid entries hit the spill slot)
     lin = t2 * (s + 1) + jnp.minimum(e2, s)
     ring_dec = (
         jnp.zeros((t_n * (s + 1),), jnp.int32)
@@ -388,11 +411,11 @@ def _green_filter_tiled(
     area_l = jnp.abs(total)
     dec_local = (
         valid_end
-        & ~ring_flag
+        & ~ring_any
         & (area_l >= min_area_x2)
         & (area_l <= maxa_t)
     )
-    dec_end = dec_local | (ring_flag & ring_dec & valid_end)
+    dec_end = dec_local | (ring_any & ring_dec & valid_end)
     found = (
         dec_end.any(axis=1).reshape(u, nh * nw).any(axis=1)
     )

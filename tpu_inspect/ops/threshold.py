@@ -58,6 +58,16 @@ def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
     keeps the first maximum. Uniform images yield threshold 0.
     """
     hist = histogram_u8(x)  # [U, 256]
+    u_real = hist.shape[0]
+    if u_real < 8:
+        # [1]-wide emulated-f64 steps lower to the scalar path and cost
+        # ~48 ms for the 256-step scan (profiled on the whole-image chain);
+        # the same scan over >=8 lanes vectorizes to ~0.3 ms. Pad with
+        # zero histograms: q1 stays 0 there, the epsilon guard holds every
+        # step, and lanes never mix.
+        hist = jnp.concatenate(
+            [hist, jnp.zeros((8 - u_real, 256), hist.dtype)], axis=0
+        )
     u = hist.shape[0]
     n = x.shape[-2] * x.shape[-1]
     scale = jnp.float64(1.0) / jnp.float64(n)
@@ -102,7 +112,7 @@ def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
         (p, ip, jnp.arange(256, dtype=jnp.int32)),
         unroll=16,
     )
-    return max_val
+    return max_val[:u_real]
 
 
 def threshold_binary_inv(x: jnp.ndarray, thr: jnp.ndarray) -> jnp.ndarray:
