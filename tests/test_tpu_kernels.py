@@ -605,3 +605,41 @@ def test_largest_component_whole_image_stats():
     ys, xs = np.nonzero(lab == best)
     assert int(area[0]) == len(xs)
     assert int(sx[0]) == int(xs.sum()) and int(sy[0]) == int(ys.sum())
+
+
+def test_filter_and_select_whole_image_tiled_green():
+    """filter_and_select beyond the int32 Green's-sum budget (tiled
+    per-component aggregation: per-tile segmented sorts + boundary-ring
+    table, no searchsorted/scatter loops) vs cv2 RETR_EXTERNAL filtering
+    on hardware."""
+    import cv2
+    import jax.numpy as jnp
+
+    from tpu_inspect.ops import contour
+
+    rng = np.random.RandomState(15)
+    h, w = 750, 900  # forces the tiled branch: (nv+1)*2*bias >= 2^31
+    m = np.zeros((h, w), np.uint8)
+    for _ in range(60):
+        y, x = rng.randint(0, h - 40), rng.randint(0, w - 40)
+        m[y : y + rng.randint(2, 36), x : x + rng.randint(2, 36)] = 255
+    m[100:690, 450:452] = 255  # tall thin blob crossing many tile rows
+    m[380:384, 20:880] = 255   # wide blob crossing many tile cols
+    for lo, hi in [(0, 10**9), (30, 4000)]:
+        ref = np.zeros_like(m)
+        cnts, _ = cv2.findContours(
+            m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+        )
+        for c in cnts:
+            if lo <= cv2.contourArea(c) <= hi:
+                cv2.drawContours(ref, [c], -1, 255, -1)
+        out, found = contour.filter_and_select(
+            jnp.asarray(m[None] > 0),
+            jnp.int32(2 * lo),
+            jnp.asarray([min(2 * hi, 2**30)], jnp.int32),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out)[0].astype(np.uint8) * 255, ref,
+            err_msg=f"lo={lo} hi={hi}",
+        )
+        assert bool(np.asarray(found)[0]) == bool(ref.any())
