@@ -484,8 +484,25 @@ def filter_and_select(
     ext = exterior_background(fg)
     fill = ~ext
     fill_labels = cc.label_components(fill, plan="rc")
-    fg_labels = cc.label_components(fg, plan="rc")
-    top = fg & (fg_labels == fill_labels)
+    from tpu_inspect.ops.flood_pallas import flood_fits_tiled
+
+    if flood_fits_tiled((u, h, w)):
+        # top-level blobs are fg-reachability from fill-region roots (a
+        # fill region's raster-first pixel is always fg) — the same
+        # argument the per-unit blob kernel uses. The strip-tiled flood
+        # replaces a SECOND whole-plane labeling + global fixpoint.
+        from tpu_inspect.ops.flood_pallas import propagate_pallas_tiled
+
+        lin2 = (
+            jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 1) * w
+            + jax.lax.broadcasted_iota(jnp.int32, (u, h, w), 2)
+        )
+        top = propagate_pallas_tiled(
+            fg & (fill_labels == lin2), fg, conn8=True
+        )
+    else:
+        fg_labels = cc.label_components(fg, plan="rc")
+        top = fg & (fg_labels == fill_labels)
 
     if blob_select_fits(fg.shape) and isinstance(min_area_x2, int):
         # TPU: sequential-over-blobs VMEM reduction — no sorts, no final
