@@ -160,10 +160,10 @@ def blob_select_pallas(
         out_shape=jax.ShapeDtypeStruct((u, hp, wp), jnp.uint8),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((hp, wp), jnp.int32),
             pltpu.VMEM((hp, wp), jnp.uint8),
@@ -411,7 +411,7 @@ def blob_filter_pallas(
         jax.ShapeDtypeStruct((u, 8, 128), jnp.int32),
     )
     out_specs = (
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     if roi is None:
@@ -421,7 +421,7 @@ def blob_filter_pallas(
             out_shape=out_shape,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=out_specs,
             scratch_shapes=[
@@ -439,8 +439,8 @@ def blob_filter_pallas(
         out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_specs,
         scratch_shapes=[

@@ -297,9 +297,9 @@ def component_stats_pallas(labels: jnp.ndarray, *, h: int, w: int):
             jax.ShapeDtypeStruct((u, hp, wp), jnp.uint8),
             jax.ShapeDtypeStruct((u, 8, 128), jnp.int32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -402,7 +402,7 @@ def largest_component_stats_pallas(fg: jnp.ndarray, plan: str = "crc"):
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -478,7 +478,7 @@ def label_components_pallas(fg: jnp.ndarray, plan: str = "crc") -> jnp.ndarray:
         kernel,
         out_shape=jax.ShapeDtypeStruct((u, hp, wp), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((hp, wp), jnp.int32),
             pltpu.SemaphoreType.DMA,

@@ -171,8 +171,8 @@ def propagate_pallas(
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((u, hp, wp), jnp.uint8),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((hp, wp), jnp.uint8),
             pltpu.SemaphoreType.DMA,
@@ -335,11 +335,11 @@ def _strip_sweep(packed, reach, *, u, s, t, conn8, down):
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[

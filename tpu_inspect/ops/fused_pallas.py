@@ -173,7 +173,7 @@ def seg_tail_pallas(
         jax.ShapeDtypeStruct((u, 8, 128), jnp.int32),
     )
     out_specs = (
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     scratch = [pltpu.VMEM((hp, wp), jnp.uint8), pltpu.SemaphoreType.DMA]
