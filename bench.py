@@ -22,9 +22,17 @@ import time
 import numpy as np
 
 
-def _emit(metric: str, value_ms, cpu_ms: float, error: str | None = None):
+def _emit(
+    metric: str,
+    value_ms,
+    cpu_ms: float,
+    error: str | None = None,
+    samples=None,
+):
     """Print THE one JSON line. Failed runs report value null (legal JSON)
-    plus an error string, never Infinity/NaN."""
+    plus an error string, never Infinity/NaN. ``samples`` (the raw per-run
+    ms measurements) adds min/max/n spread fields; ``value`` stays the
+    tracked median."""
     rec = {"metric": metric, "unit": "ms"}
     if value_ms is None or not (value_ms == value_ms) or value_ms in (
         float("inf"),
@@ -38,6 +46,10 @@ def _emit(metric: str, value_ms, cpu_ms: float, error: str | None = None):
         rec["vs_baseline"] = (
             round(cpu_ms / value_ms, 2) if value_ms > 0 else 0.0
         )
+        if samples:
+            rec["min"] = round(float(min(samples)), 3)
+            rec["max"] = round(float(max(samples)), 3)
+            rec["n"] = len(samples)
         if error:
             rec["error"] = error
     print(json.dumps(rec))
@@ -159,7 +171,7 @@ def main_config1(with_defects: bool = False):
         times.append((time.perf_counter() - t0) * 1000.0 / N)
     tpu_ms = float(np.median(times))
     log(f"TPU steady-state: {tpu_ms:.2f} ms (min {min(times):.2f})")
-    _emit(metric, tpu_ms if parity else None, cpu_ms)
+    _emit(metric, tpu_ms if parity else None, cpu_ms, samples=times)
 
 
 def main_stream():
@@ -224,6 +236,44 @@ def main_stream():
         f"(parity on frame 0: {parity})"
     )
     _emit(metric, wall_ms if parity else None, cpu_ms)
+
+
+def _method_combo_parity(crops) -> bool:
+    """Parity gate across all four seg x defect method combos.
+
+    The main gate runs otsu + threshold (the defaults); a TPU-lowering
+    regression in adaptiveThreshold (segmentation.py:83-89) or Canny
+    (indexing_ui.py:1536-1539) would otherwise ship green. One 16-unit
+    subset run per remaining combo keeps the cost to a few extra compiles.
+    """
+    import numpy as np
+
+    from tpu_inspect import engine, oracle
+    from tpu_inspect.config import DefectParams, SegmentationParams
+
+    sub = np.asarray(crops[:16])
+    ok = True
+    for seg_m in ("otsu", "adaptive"):
+        seg_p = SegmentationParams(method=seg_m).validated()
+        ref_masks, _, _ = oracle.segment_all_units(sub, seg_p)
+        got = engine.segment_units(sub, seg_p).masks
+        seg_ok = bool((got == ref_masks).all())
+        ok &= seg_ok
+        for def_m in ("threshold", "canny"):
+            if seg_m == "otsu" and def_m == "threshold":
+                continue  # the main full-grid gate covers the defaults
+            def_p = DefectParams(method=def_m).validated()
+            _, ref_areas, ref_verd = oracle.inspect_units(
+                sub, ref_masks, def_p
+            )
+            insp = engine.detect_defects_batch(sub, ref_masks, def_p)
+            combo_ok = bool(
+                (insp.areas == ref_areas).all()
+                and (insp.verdicts == ref_verd).all()
+            )
+            ok &= combo_ok
+            log(f"parity[{seg_m}/{def_m}]: seg={seg_ok} defect={combo_ok}")
+    return ok
 
 
 def main():
@@ -298,6 +348,9 @@ def main():
     verdict_ok = bool((verdicts == ref_verdicts).all() and (areas == ref_areas).all())
     log(f"parity: masks_exact={iou_exact} verdicts_exact={verdict_ok} "
         f"NG={int(verdicts.sum())}/{u}")
+    combos_ok = _method_combo_parity(crops)
+    verdict_ok = verdict_ok and combos_ok
+    log(f"parity: otsu/adaptive x threshold/canny all exact = {combos_ok}")
 
     # single-call latency (includes host<->device dispatch overhead, which is
     # inflated by the development tunnel; reported to stderr for reference)
@@ -343,6 +396,7 @@ def main():
         "full_grid_4096x3000_seg_defect_ms_per_image",
         tpu_ms if (iou_exact and verdict_ok) else None,
         cpu_ms,
+        samples=times,
     )
 
 

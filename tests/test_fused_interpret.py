@@ -102,8 +102,11 @@ def test_roi_tail_interpret(interp):
             if n
             else ()
         )
-        roi_u8, _, _, _, has, row_lo, row_hi = fp.seg_tail_pallas(
-            jnp.asarray(masks), stages=stages, fill=False, out_largest=True
+        roi_u8, _, _, _, has, row_lo, row_hi, col_lo, col_hi = (
+            fp.seg_tail_pallas(
+                jnp.asarray(masks), stages=stages, fill=False,
+                out_largest=True,
+            )
         )
         roi_u8 = np.asarray(roi_u8)
         for i in range(4):
@@ -114,6 +117,8 @@ def test_roi_tail_interpret(interp):
                 assert not bool(np.asarray(has)[i])
                 assert int(np.asarray(row_lo)[i]) == 40
                 assert int(np.asarray(row_hi)[i]) == 0
+                assert int(np.asarray(col_lo)[i]) == 44
+                assert int(np.asarray(col_hi)[i]) == 0
                 continue
             areas = [(lab == j).sum() for j in range(1, nl)]
             best = 1 + int(np.argmax(areas))
@@ -121,6 +126,9 @@ def test_roi_tail_interpret(interp):
             ys = np.nonzero((lab == best).any(axis=1))[0]
             assert int(np.asarray(row_lo)[i]) == ys.min()
             assert int(np.asarray(row_hi)[i]) == ys.max() + 1
+            xs = np.nonzero((lab == best).any(axis=0))[0]
+            assert int(np.asarray(col_lo)[i]) == xs.min()
+            assert int(np.asarray(col_hi)[i]) == xs.max() + 1
 
 
 def test_blob_filter_interpret(interp):

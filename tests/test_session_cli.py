@@ -313,3 +313,68 @@ def test_cli_stream(tmp_path, capsys):
         _, _, verdicts = oracle.inspect_units(crops, masks, dfp)
         assert line["ng_count"] == int(verdicts.sum())
         assert line["ng_units"] == [int(x) for x in np.nonzero(verdicts)[0]]
+
+
+def test_verbose_defect_diagnostics_log_formats():
+    """Single-unit verbose debug channel: the reference's per-stage log
+    lines in their exact formats (indexing_ui.py:1494, :1535, :1549), with
+    values matching the oracle's own intermediates."""
+    import re
+
+    import cv2
+
+    sess, ref, cur = _session()
+    sess.apply_indexing(GRID)
+    sess.run_segmentation()
+    idx = 2
+    sess.test_defect_unit(idx, verbose=True)
+    lines = list(sess.log.tail())
+
+    # oracle-side intermediates (the reference's own chain)
+    crops = np.asarray(crop_units(ref, GRID))
+    masks = sess.results().seg.masks
+    p = sess.defect_params
+    seg_area0 = int((masks[idx] > 0).sum())
+    assert f"Seg mask area (roi)={seg_area0}, erode_px={p.erode_px}" in lines
+    seg_bin = ((masks[idx] > 0).astype(np.uint8)) * 255
+    if p.erode_px > 0:
+        seg_bin = cv2.erode(seg_bin, None, iterations=int(p.erode_px))
+    nlab, labels, stats, _ = cv2.connectedComponentsWithStats(
+        (seg_bin > 0).astype(np.uint8), connectivity=8
+    )
+    if nlab > 1:
+        best = 1 + int(np.argmax(stats[1:, cv2.CC_STAT_AREA]))
+        seg_bin = (labels == best).astype(np.uint8) * 255
+    if seg_bin.sum() == 0:
+        assert any("Segmentation mask empty after erode" in l for l in lines)
+        return
+    roi_area = int((seg_bin > 0).sum())
+    bg = cv2.medianBlur(crops[idx], 21)
+    resid = cv2.absdiff(crops[idx], bg)
+    _, cand = cv2.threshold(resid, int(p.threshold), 255, cv2.THRESH_BINARY)
+    cand = cv2.bitwise_and(cand, seg_bin)
+    cand = cv2.morphologyEx(
+        cand, cv2.MORPH_OPEN,
+        cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (3, 3)), iterations=1,
+    )
+    assert f"Residual mask area={int((cand > 0).sum())}" in lines
+    max_area = max(int(p.min_area), int(roi_area * 0.98))
+    assert (
+        f"Defect area filter: min={p.min_area}, max={max_area}, "
+        f"seg_area={roi_area}" in lines
+    )
+    # skip-large lines match the oracle's contour filter decisions
+    cnts, _ = cv2.findContours(
+        cand.copy(), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+    )
+    expect = sorted(
+        int(cv2.contourArea(c))
+        for c in cnts
+        if cv2.contourArea(c) >= p.min_area and cv2.contourArea(c) > max_area
+    )
+    got = sorted(
+        int(m.group(1))
+        for l in lines
+        if (m := re.match(r"Skipping large contour area=(\d+) ", l))
+    )
+    assert got == expect

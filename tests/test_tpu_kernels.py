@@ -164,7 +164,7 @@ def test_pallas_seg_tail_parity():
     assert tail_fits(crops.shape)
     x = jnp.asarray(crops)
     mask0 = _blur_threshold(x, seg)
-    out, area, sx, sy, has, _, _ = seg_tail_pallas(
+    out, area, sx, sy, has, *_ = seg_tail_pallas(
         mask0, stages=_close_open_stages(_morph_k(seg)), fill=True
     )
     ref_mask = raw_segment(x, seg)
@@ -185,8 +185,11 @@ def test_pallas_seg_tail_parity():
             if n
             else ()
         )
-        roi_u8, _, _, _, hasf, row_lo, row_hi = seg_tail_pallas(
-            jnp.asarray(masks), stages=stages, fill=False, out_largest=True
+        roi_u8, _, _, _, hasf, row_lo, row_hi, col_lo, col_hi = (
+            seg_tail_pallas(
+                jnp.asarray(masks), stages=stages, fill=False,
+                out_largest=True,
+            )
         )
         from tpu_inspect.ops import morphology
 
@@ -203,6 +206,11 @@ def test_pallas_seg_tail_parity():
             hi = ys.max() + 1 if len(ys) else 0
             assert int(np.asarray(row_lo)[i]) == lo
             assert int(np.asarray(row_hi)[i]) == hi
+            xs = np.nonzero(rr[i].any(axis=0))[0]
+            clo = xs.min() if len(xs) else rr.shape[2]
+            chi = xs.max() + 1 if len(xs) else 0
+            assert int(np.asarray(col_lo)[i]) == clo
+            assert int(np.asarray(col_hi)[i]) == chi
 
 
 def test_pallas_blob_select_parity():
@@ -643,3 +651,40 @@ def test_filter_and_select_whole_image_tiled_green():
             err_msg=f"lo={lo} hi={hi}",
         )
         assert bool(np.asarray(found)[0]) == bool(ref.any())
+
+
+def test_median_col_window_narrow_and_fallback():
+    """The defect pass's per-unit 256-wide ROI column window (engine.
+    _candidate_mask): narrow-ROI masks take the windowed median kernel,
+    full-width ROIs the fallback — both must match the oracle exactly."""
+    import cv2
+    import jax.numpy as jnp
+
+    from tpu_inspect import oracle
+    from tpu_inspect.config import DefectParams
+    from tpu_inspect.engine import _defect_device
+
+    rng = np.random.RandomState(11)
+    u, h, w = 16, 315, 316
+    crops = rng.randint(0, 256, (u, h, w), dtype=np.uint8)
+    params = DefectParams().validated()
+
+    for span, name in (((40, 200), "narrow"), ((2, 314), "full-width")):
+        masks = np.zeros((u, h, w), np.uint8)
+        # solid ROI block per unit, offset per unit, spanning `span` cols
+        for i in range(u):
+            c0 = span[0] + (i % 3) * 5
+            masks[i, 30 : h - 30, c0 : span[1]] = 255
+        out, found, area, verdict = _defect_device(
+            jnp.asarray(crops), jnp.asarray(masks), params=params
+        )
+        _, ref_areas, ref_verd = oracle.inspect_units(crops, masks, params)
+        np.testing.assert_array_equal(np.asarray(area), ref_areas, err_msg=name)
+        np.testing.assert_array_equal(np.asarray(verdict), ref_verd, err_msg=name)
+        ref_masks = [
+            oracle.detect_defects(crops[i], masks[i], params) for i in range(u)
+        ]
+        got = np.asarray(out)
+        for i in range(u):
+            exp = ref_masks[i] if ref_masks[i] is not None else np.zeros((h, w), np.uint8)
+            np.testing.assert_array_equal(got[i], exp, err_msg=f"{name} unit {i}")

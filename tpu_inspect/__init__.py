@@ -17,14 +17,32 @@ primitive on the hot path is re-implemented bit-exactly on device (see
 ``tpu_inspect.ops``).
 """
 
+# GLOBAL JAX CONFIG: importing this package enables jax_enable_x64.
+#
 # Bit-exact parity with OpenCV requires float64 for the Otsu threshold scan
-# and centroid reductions (OpenCV computes both in double). Must run before
-# any JAX computation. All dtypes in this package are explicit, so enabling
-# x64 does not silently change any op's precision.
+# and centroid reductions (OpenCV computes both in double), and int64 for
+# the whole-image sort payloads; JAX only exposes 64-bit dtypes behind the
+# global x64 flag, and it must be set before any JAX computation. All
+# dtypes in this package are explicit, so enabling x64 does not change any
+# of OUR ops' precision — but a host program embedding this library
+# inherits x64 default-dtype semantics for ITS OWN weakly-typed literals
+# (e.g. bare `jnp.arange` becomes int64). If that is unacceptable, import
+# tpu_inspect in a separate process. If the environment explicitly demands
+# x64 off (JAX_ENABLE_X64=0), importing raises instead of silently
+# overriding: without x64 this library would produce WRONG (non-parity)
+# anchors and thresholds, which is worse than failing loudly.
 import os as _os
 
 import jax as _jax
 
+_x64_env = _os.environ.get("JAX_ENABLE_X64", "").strip().lower()
+if _x64_env in ("0", "false", "no"):
+    raise ImportError(
+        "tpu_inspect requires jax_enable_x64 (float64 Otsu scan / centroid "
+        "parity, int64 sort payloads), but JAX_ENABLE_X64 is explicitly "
+        "disabled in the environment. Unset it, or run tpu_inspect in its "
+        "own process."
+    )
 _jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: first compile of the fused pipeline is slow

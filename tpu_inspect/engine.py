@@ -232,7 +232,7 @@ def _segment_device(
             with jax.named_scope("otsu"):
                 mask0, thr_v = x, threshold.otsu_threshold(x)
         with jax.named_scope("seg_tail"):
-            mask, area, sx, sy, has_fg, _, _ = seg_tail_pallas(
+            mask, area, sx, sy, has_fg, *_ = seg_tail_pallas(
                 mask0, stages=stages, fill=True, out_largest=False, thr=thr_v
             )
     else:
@@ -340,14 +340,15 @@ def defect_roi(seg_masks: jnp.ndarray, erode_px: int):
     """ROI prep (indexing_ui.py:1480-1516): binarize seg mask, erode
     ``erode_px`` iterations of 3x3 rect, keep the largest 8-connected
     component (holes preserved). Returns (roi [U,H,W] bool, roi_empty [U])."""
-    roi, roi_empty, _, _, _ = _defect_roi_full(seg_masks, erode_px)
+    roi, roi_empty, _, _, _, _, _ = _defect_roi_full(seg_masks, erode_px)
     return roi, roi_empty
 
 
 def _defect_roi_full(seg_masks: jnp.ndarray, erode_px: int):
     """defect_roi plus the derived per-unit scalars the defect pass needs:
-    (roi, roi_empty, roi_area [U] i32, row_lo [U] i32, row_hi [U] i32).
-    The fused kernel emits them for free; fallbacks reduce in XLA."""
+    (roi, roi_empty, roi_area [U] i32, row_lo, row_hi, col_lo, col_hi
+    [U] i32). The fused kernel emits them for free; fallbacks reduce in
+    XLA."""
     from tpu_inspect.ops.fused_pallas import seg_tail_pallas, tail_fits
 
     if tail_fits(seg_masks.shape):
@@ -358,26 +359,33 @@ def _defect_roi_full(seg_masks: jnp.ndarray, erode_px: int):
             if n > 0
             else ()
         )
-        roi_u8, area, _, _, has_fg, row_lo, row_hi = seg_tail_pallas(
-            seg_masks, stages=stages, fill=False, out_largest=True
+        roi_u8, area, _, _, has_fg, row_lo, row_hi, col_lo, col_hi = (
+            seg_tail_pallas(
+                seg_masks, stages=stages, fill=False, out_largest=True
+            )
         )
-        return roi_u8 > 0, ~has_fg, area, row_lo, row_hi
+        return roi_u8 > 0, ~has_fg, area, row_lo, row_hi, col_lo, col_hi
 
     roi, roi_empty = _defect_roi_fallback(seg_masks, erode_px)
-    h = seg_masks.shape[1]
+    h, w = seg_masks.shape[1:]
     roi_area = roi.sum(axis=(1, 2), dtype=jnp.int32)
-    rows_any = roi.any(axis=2)
-    row_lo = jnp.where(
-        rows_any.any(axis=1),
-        jnp.argmax(rows_any, axis=1).astype(jnp.int32),
-        jnp.int32(h),
-    )
-    row_hi = jnp.where(
-        rows_any.any(axis=1),
-        jnp.int32(h) - jnp.argmax(rows_any[:, ::-1], axis=1).astype(jnp.int32),
-        jnp.int32(0),
-    )
-    return roi, roi_empty, roi_area, row_lo, row_hi
+
+    def extent(any_along, n):
+        has = any_along.any(axis=1)
+        lo = jnp.where(
+            has, jnp.argmax(any_along, axis=1).astype(jnp.int32), jnp.int32(n)
+        )
+        hi = jnp.where(
+            has,
+            jnp.int32(n)
+            - jnp.argmax(any_along[:, ::-1], axis=1).astype(jnp.int32),
+            jnp.int32(0),
+        )
+        return lo, hi
+
+    row_lo, row_hi = extent(roi.any(axis=2), h)
+    col_lo, col_hi = extent(roi.any(axis=1), w)
+    return roi, roi_empty, roi_area, row_lo, row_hi, col_lo, col_hi
 
 
 def _defect_roi_fallback(seg_masks: jnp.ndarray, erode_px: int):
@@ -395,14 +403,18 @@ def _defect_roi_fallback(seg_masks: jnp.ndarray, erode_px: int):
     return largest, ~has_fg
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def _defect_device(crops, seg_masks, *, params: DefectParams):
-    u, h, w = crops.shape
-    with jax.named_scope("defect_roi"):
-        roi, roi_empty, roi_area, row_lo, row_hi = _defect_roi_full(
-            seg_masks, int(params.erode_px)
-        )
+def _candidate_mask(
+    crops, params: DefectParams, row_lo, row_hi, col_lo=None, col_hi=None
+):
+    """Pre-ROI defect candidate mask (indexing_ui.py:1519-1539).
 
+    Returns (cand [U,H,W] uint8, needs_open) — the residual-threshold or
+    Canny plane BEFORE the ROI AND / 3x3 open (those fuse into the blob
+    kernel downstream). ``row_lo``/``row_hi`` bound the rows the Pallas
+    median kernel processes (rows outside are ANDed away by the ROI);
+    ``col_lo``/``col_hi`` optionally narrow it to a per-unit 256-wide
+    column window around the ROI (see _MEDIAN_COL_WINDOW below)."""
+    u, h, w = crops.shape
     thr = int(params.threshold)
     if params.method == "threshold":
         # residual from 21x21 median background (indexing_ui.py:1519-1535)
@@ -423,6 +435,46 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
             # Only rows intersecting the ROI are processed (the result is
             # ANDed with the ROI in the blob kernel); the bounds come out
             # of the ROI kernel's stats row for free
+            W = _MEDIAN_COL_WINDOW
+            if col_lo is not None and w > W and median_fits((u, h, W)):
+                # 256-wide column window around the union of the ROIs: the
+                # mold spans ~2/3 of the crop width, and 256 has no
+                # lane-padding waste (316 pads to 384). ONE scalar window
+                # start shared by all units — grid units image the same mold
+                # pattern, so their ROI columns align, and a shared start
+                # keeps the slice/unslice single dynamic-slice ops (the
+                # per-unit vmapped form lowered to ~0.3 ms of 48-step while
+                # loops). Outputs outside each ROI are discarded by the ROI
+                # AND, so the kernel's folded border replication only ever
+                # affects discarded columns or true image borders (the start
+                # clamps to the image). Falls back to the full-width kernel
+                # at runtime when the ROI column union exceeds the window.
+                r_h = k // 2
+                lo_all = jnp.min(col_lo).astype(jnp.int32)
+                hi_all = jnp.max(col_hi).astype(jnp.int32)
+                start = jnp.clip(lo_all - r_h, 0, w - W)
+                fits_all = (hi_all - lo_all) <= jnp.int32(W - 2 * r_h)
+
+                def narrow(c):
+                    sl = jax.lax.dynamic_slice(
+                        c, (jnp.int32(0), jnp.int32(0), start), (u, h, W)
+                    )
+                    cn = median_residual_mask_pallas(
+                        sl, k, thr, row_lo=row_lo, row_hi=row_hi
+                    )
+                    base = jnp.zeros((u, h, w), jnp.uint8)
+                    return jax.lax.dynamic_update_slice(
+                        base, cn, (jnp.int32(0), jnp.int32(0), start)
+                    )
+
+                def full(c):
+                    return median_residual_mask_pallas(
+                        c, k, thr, row_lo=row_lo, row_hi=row_hi
+                    )
+
+                with jax.named_scope("median_residual_colwin"):
+                    cand = jax.lax.cond(fits_all, narrow, full, crops)
+                return cand, True
             with jax.named_scope("median_residual"):
                 cand = median_residual_mask_pallas(
                     crops, k, thr, row_lo=row_lo, row_hi=row_hi
@@ -437,12 +489,29 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
                 bg = median.median_blur_u8(crops, k)
             resid = jnp.abs(crops.astype(jnp.int32) - bg.astype(jnp.int32))
             cand = threshold.threshold_binary(resid, thr)
-        needs_open = True
-    else:
-        from tpu_inspect.ops import canny as canny_op
+        return cand, True
+    from tpu_inspect.ops import canny as canny_op
 
-        cand = canny_op.canny_u8(crops, max(1, thr // 2), max(2, thr))
-        needs_open = False
+    return canny_op.canny_u8(crops, max(1, thr // 2), max(2, thr)), False
+
+
+# Static width of the median kernel's per-unit ROI column window: 2 exact
+# lane tiles (no padding waste vs 316 -> 384), covering ROI spans up to
+# 256 - (k - 1) columns with the halo the 21x21 window needs.
+_MEDIAN_COL_WINDOW = 256
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _defect_device(crops, seg_masks, *, params: DefectParams):
+    u, h, w = crops.shape
+    with jax.named_scope("defect_roi"):
+        roi, roi_empty, roi_area, row_lo, row_hi, col_lo, col_hi = (
+            _defect_roi_full(seg_masks, int(params.erode_px))
+        )
+
+    cand, needs_open = _candidate_mask(
+        crops, params, row_lo, row_hi, col_lo, col_hi
+    )
 
     # area filter (indexing_ui.py:1542-1558): Python int() truncation of
     # roi_area * 0.98 computed in double; comparisons run on exact 2x-areas
@@ -496,6 +565,60 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
     # (indexing_ui.py:1686-1700)
     verdict = found & (area >= jnp.int32(int(params.min_area)))
     return jnp.where(out, jnp.uint8(255), jnp.uint8(0)), found, area, verdict
+
+
+def defect_intermediates(
+    crop: np.ndarray,
+    seg_mask: np.ndarray,
+    params: DefectParams,
+) -> dict:
+    """Per-stage diagnostic scalars for ONE unit — the reference's verbose
+    debug channel (indexing_ui.py:1494, :1535, :1549-1557).
+
+    Returns {'seg_area0', 'erode_px', 'roi_empty', 'roi_area',
+    'resid_area' (threshold method only), 'min_area', 'max_area',
+    'skipped_large' (list of int contour areas with min_area <= a but
+    a > max_area)}. Uses the same proven ops as the batch engine; the cost
+    is one single-unit device pass, acceptable for the interactive
+    single-unit test this diagnoses.
+    """
+    from tpu_inspect.ops import contour as contour_op
+
+    params = params.validated()
+    crops = jnp.asarray(crop, dtype=jnp.uint8)[None]
+    masks = jnp.asarray(seg_mask, dtype=jnp.uint8)[None]
+    out = {
+        "seg_area0": int((np.asarray(seg_mask) > 0).sum()),
+        "erode_px": int(params.erode_px),
+        "min_area": int(params.min_area),
+    }
+    roi, roi_empty, roi_area, row_lo, row_hi, _, _ = _defect_roi_full(
+        masks, int(params.erode_px)
+    )
+    out["roi_empty"] = bool(np.asarray(roi_empty)[0])
+    out["roi_area"] = int(np.asarray(roi_area)[0])
+    # max_area = max(min_area, int(seg_area * 0.98)) with Python-int
+    # truncation of the double product (indexing_ui.py:1548-1549)
+    out["max_area"] = max(
+        out["min_area"], int(out["roi_area"] * float(params.max_area_frac))
+    )
+    if out["roi_empty"]:
+        return out
+    cand, needs_open = _candidate_mask(crops, params, row_lo, row_hi)
+    cand = jnp.where(roi, cand, jnp.uint8(0))
+    if needs_open:
+        cand = morphology.morph_open(cand, morphology.ellipse_se(3))
+        out["resid_area"] = int((np.asarray(cand) > 0).sum())
+    analysis = contour_op.analyze_blobs(cand > 0)
+    a2 = np.asarray(analysis.contour_area_x2[0])
+    roots = np.asarray(analysis.is_root[0])
+    areas = (a2[roots] // 2).astype(int)  # int(contourArea): a2 is exact 2x
+    out["skipped_large"] = sorted(
+        int(a)
+        for a in areas
+        if a >= out["min_area"] and a > out["max_area"]
+    )
+    return out
 
 
 def detect_defects_batch(

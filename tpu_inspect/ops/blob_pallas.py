@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_inspect.ops._contour_table import CONTOUR_TABLE_X2
-from tpu_inspect.ops.cc_pallas import _BIG, _shift2d, _sum_i32
+from tpu_inspect.ops.cc_pallas import _BIG, _shift2d, _sum_f32exact
 
 
 def _select_kernel(
@@ -104,7 +104,11 @@ def _select_kernel(
 
         def body(c):
             nxt, out = c
-            s = _sum_i32(jnp.where(attr == nxt, contrib, jnp.int32(0)))
+            # |contrib| <= 1 + (hp-1) + (wp-1): column sums f32-exact
+            s = _sum_f32exact(
+                jnp.where(attr == nxt, contrib, jnp.int32(0)),
+                hp * (hp + wp),
+            )
             a2 = jnp.abs(s)
             keep = (a2 >= jnp.int32(min_x2)) & (a2 <= max_x2)
             out = jnp.where(keep & (lab == nxt), jnp.int32(1), out)
@@ -270,6 +274,31 @@ def _blob_body(
             v = jnp.where(pad_zone, jnp.int32(0), v)
         m = v > 0
 
+        # Empty-candidate fast path: most units have NO surviving candidate
+        # pixels (no contours -> None in the reference, indexing_ui.py:1559),
+        # so the floods / labeling / Green's filter below would burn full
+        # fixpoint passes to produce an all-zero plane. Predicate the whole
+        # tail on a single max-reduce instead (measured: the majority of the
+        # blob kernel's time on the production workload was empty units).
+        has_any = m.astype(jnp.int32).max()
+
+        @pl.when(has_any == 0)
+        def _empty():
+            area_out[pl.ds(ui, 1), :, :] = jnp.zeros((1, 8, 128), jnp.int32)
+            out_buf[:, :] = jnp.zeros((hp, wp), jnp.uint8)
+            cp0 = pltpu.make_async_copy(out_buf, out_hbm.at[ui], sem_out)
+            cp0.start()
+            cp0.wait()
+
+        @pl.when(has_any != 0)
+        def _full():
+            _blob_tail(ui, m)
+
+        return carry
+
+    def _blob_tail(ui, m):
+        yy = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
         border = (yy == 0) | (yy == hp - 1) | (xx == 0) | (xx == wp - 1)
         ext = _local_fixpoint(~m, border & ~m, conn8=False) > 0
         fill = ~ext
@@ -318,7 +347,11 @@ def _blob_body(
 
         def body(c):
             nxt, out = c
-            s = _sum_i32(jnp.where(attr == nxt, contrib, jnp.int32(0)))
+            # |contrib| <= 1 + (hp-1) + (wp-1): column sums f32-exact
+            s = _sum_f32exact(
+                jnp.where(attr == nxt, contrib, jnp.int32(0)),
+                hp * (hp + wp),
+            )
             a2 = jnp.abs(s)
             keep = (a2 >= jnp.int32(min_x2)) & (a2 <= max_x2)
             out = jnp.where(keep & (lab == nxt), jnp.int32(1), out)
@@ -332,7 +365,7 @@ def _blob_body(
         # per-unit pixel area of the kept mask (the verdict input,
         # indexing_ui.py:1691-1700) — saves the XLA [U,H,W] sum + masking
         # passes downstream
-        area = _sum_i32(out)
+        area = _sum_f32exact(out, hp)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
         area_out[pl.ds(ui, 1), :, :] = jnp.where(
             lane == 0, area, jnp.zeros((1, 8, 128), jnp.int32)
@@ -341,7 +374,6 @@ def _blob_body(
         cp_out = pltpu.make_async_copy(out_buf, out_hbm.at[ui], sem_out)
         cp_out.start()
         cp_out.wait()
-        return carry
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(u), unit_body, jnp.int32(0))
 

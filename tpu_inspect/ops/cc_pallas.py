@@ -39,6 +39,9 @@ def _sum_i32(x):
     through an unsupported 64-bit convert), while min/max reductions work.
     So: 2D inclusive prefix sum via log-step shifts, then extract the
     bottom-right corner (== the total, signed-safe) with a masked max.
+
+    Prefer ``_sum_f32exact`` when the per-column bound holds — it is ~6x
+    cheaper. This general form has no bound requirement.
     """
     hp, wp = x.shape
     s = _prefix_sum(x, axis=0, reverse=False)
@@ -47,6 +50,30 @@ def _sum_i32(x):
     xx = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
     corner = (yy == hp - 1) & (xx == wp - 1)
     return jnp.where(corner, s, -_BIG).max()
+
+
+def _sum_f32exact(x, max_col_abs_sum: int):
+    """Exact int32 plane sum via one f32 sublane reduce + an int32 lane tree.
+
+    Exact when every column's sum of |values| stays below 2^24 (f32 integer
+    adds are exact there); callers assert the static bound from their own
+    value/shape limits. The f32 sublane add-reduction is supported by
+    Mosaic (int add-reductions are not), the cross-lane combine runs in
+    int32 (totals may exceed 2^24), and the scalar comes out via the masked
+    max (direct scalar extraction from vectors is fragile in Mosaic).
+    Replaces the 18 full-plane shift-add steps of the 2D-prefix _sum_i32
+    with ~3 plane-sized ops.
+    """
+    hp, wp = x.shape
+    assert max_col_abs_sum < (1 << 24), "column sums exceed f32-exact range"
+    col = x.astype(jnp.float32).sum(axis=0, keepdims=True)  # [1, wp], exact
+    v = col.astype(jnp.int32)
+    s = 1
+    while s < wp:
+        v = v + _shift2d(v, 0, s, np.int32(0))
+        s *= 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+    return jnp.where(lane == 0, v, -_BIG).max()
 
 
 def _shift2d(a, dy, dx, fill):
@@ -219,7 +246,8 @@ def _largest_stats(lab, w: int):
     def body(c):
         nxt, b_root, b_area, b_tie = c
         member = lab == nxt
-        area = _sum_i32(member.astype(jnp.int32))
+        # 0/1 plane: column sums <= hp, f32-exact
+        area = _sum_f32exact(member.astype(jnp.int32), hp)
         tie = jnp.where(member, br, _BIG).min()
         better = (area > b_area) | ((area == b_area) & (tie < b_tie))
         b_root = jnp.where(better, nxt, b_root)
@@ -234,8 +262,10 @@ def _largest_stats(lab, w: int):
     )
     bm = fgm & (lab == best_root)
     bmi = bm.astype(jnp.int32)
-    sx = _sum_i32(bmi * xx)
-    sy = _sum_i32(bmi * yy)
+    # coordinate sums: per-column |sum| <= hp * max coordinate, f32-exact
+    # within the callers' max(h, w) * h * w < 2^31 gates (<= ~1.8M < 2^24)
+    sx = _sum_f32exact(bmi * xx, hp * max(wp - 1, 1))
+    sy = _sum_f32exact(bmi * yy, hp * max(hp - 1, 1))
     return bmi, best_area, sx, sy
 
 

@@ -82,13 +82,17 @@ def _tail_body(
         lab = _label_fixpoint(m, h, w, k_pow, plan)
         bmi, best_area, sx, sy = _largest_stats(lab, w)
 
-        # row extent of the selected component (lanes 4/5): the defect
-        # path's median kernel only processes ROI rows; emitting the bounds
-        # here saves the XLA any/argmax reduction passes (empty -> (h, 0),
-        # the neutral of the median kernel's group union)
+        # row/col extent of the selected component (lanes 4-7): the defect
+        # path's median kernel only processes ROI rows and a narrowed ROI
+        # column window; emitting the bounds here saves the XLA any/argmax
+        # reduction passes (empty -> (h, 0) / (w, 0), the neutrals of the
+        # median kernel's group union)
         yy_l = jax.lax.broadcasted_iota(jnp.int32, bmi.shape, 0)
+        xx_l = jax.lax.broadcasted_iota(jnp.int32, bmi.shape, 1)
         row_lo = jnp.where(bmi > 0, yy_l, jnp.int32(h)).min()
         row_hi = jnp.where(bmi > 0, yy_l + 1, jnp.int32(0)).max()
+        col_lo = jnp.where(bmi > 0, xx_l, jnp.int32(w)).min()
+        col_hi = jnp.where(bmi > 0, xx_l + 1, jnp.int32(0)).max()
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
         z = jnp.zeros((1, 8, 128), jnp.int32)
@@ -100,6 +104,8 @@ def _tail_body(
             + jnp.where(lane == 3, has_i, z)
             + jnp.where(lane == 4, row_lo, z)
             + jnp.where(lane == 5, row_hi, z)
+            + jnp.where(lane == 6, col_lo, z)
+            + jnp.where(lane == 7, col_hi, z)
         )
         stats_out[pl.ds(ui, 1), :, :] = row
 
@@ -142,8 +148,8 @@ def seg_tail_pallas(
 ):
     """mask [U,H,W] uint8 (any >0 = fg) -> (out_mask [U,H,W] uint8 0/255,
     area [U] i32, sx [U] i32, sy [U] i32, has_fg [U] bool,
-    row_lo [U] i32, row_hi [U] i32 — the selected component's row extent,
-    (h, 0) when empty).
+    row_lo [U] i32, row_hi [U] i32, col_lo [U] i32, col_hi [U] i32 — the
+    selected component's row/col extents, (h, 0) / (w, 0) when empty).
 
     Applies the static morphology ``stages`` (see ops.morph_pallas), then
     optional border-flood hole filling, then largest-8-connected-component
@@ -204,6 +210,8 @@ def seg_tail_pallas(
         stats[:, 0, 3] > 0,
         stats[:, 0, 4],
         stats[:, 0, 5],
+        stats[:, 0, 6],
+        stats[:, 0, 7],
     )
 
 

@@ -166,9 +166,7 @@ def _median_residual_kernel(
     rank = (k * k + 1) // 2
     G = _CHUNK
     m = G * 256
-    bins_flat = jnp.bitwise_and(
-        jax.lax.broadcasted_iota(jnp.int32, (m, w), 0), jnp.int32(255)
-    )
+    bins256 = jax.lax.broadcasted_iota(jnp.int32, (256, w), 0)
     tiles = tuple((c0, min(c0 + 128, w)) for c0 in range(0, w, 128))
     # NOTE on the reduce over each group's 256 value-sublanes: riding it on
     # the MXU as a block-ones matmul is a trap. The TPU MXU truncates f32
@@ -194,63 +192,86 @@ def _median_residual_kernel(
         y_lo = jax.lax.fori_loop(jnp.int32(0), jnp.int32(G), mn, jnp.int32(h))
         y_hi = jax.lax.fori_loop(jnp.int32(0), jnp.int32(G), mx, jnp.int32(0))
 
-        def rows_flat(y):
-            """[G*256, w] i32: unit g's clamped row y over its 256-block."""
+        def row_vals(y):
+            """Per-unit clamped row y as G [1, w] i32 vectors (no [m, w]
+            broadcast materialization: downstream ops broadcast [1, w]
+            against the [256, w] bin iota implicitly, per block)."""
             yc = jnp.maximum(jnp.minimum(y, jnp.int32(h - 1)), jnp.int32(0))
-            parts = [
-                jnp.broadcast_to(
-                    x_ref[pl.ds(c0u + g, 1), pl.ds(yc, 1), 0, :]
-                    .astype(jnp.int32)
-                    .reshape(1, w),
-                    (256, w),
-                )
+            return [
+                x_ref[pl.ds(c0u + g, 1), pl.ds(yc, 1), 0, :]
+                .astype(jnp.int32)
+                .reshape(1, w)
                 for g in range(G)
             ]
-            return jnp.concatenate(parts, axis=0)
-
-        def onehot(y):
-            return (rows_flat(y) == bins_flat).astype(jnp.bfloat16)
 
         # init the vertical-window histograms centered on the first
-        # processed row (rows clamp to the image: BORDER_REPLICATE)
+        # processed row (rows clamp to the image: BORDER_REPLICATE),
+        # per 256-block (hist_ref slices are static)
         def init_body(dy, acc):
-            return acc + onehot(y_lo + dy - r)
+            vals = row_vals(y_lo + dy - r)
+            return [a + (v == bins256).astype(jnp.bfloat16)
+                    for a, v in zip(acc, vals)]
 
-        hist_ref[:, :] = jax.lax.fori_loop(
+        hist0 = jax.lax.fori_loop(
             jnp.int32(0),
             jnp.int32(2 * r + 1),
             init_body,
-            jnp.zeros((m, w), jnp.bfloat16),
+            [jnp.zeros((256, w), jnp.bfloat16)] * G,
         )
+        for g in range(G):
+            hist_ref[g * 256 : (g + 1) * 256, :] = hist0[g]
 
         def row_body(y, c):
             hist = hist_ref[:, :]
-            gflat = rows_flat(y)  # [m, w] center row values per unit block
-            # (packed field must hold counts up to k*k, <= 2025 for k <= 45,
-            # enforced by the wrapper; packed f32 sum < 2^23 stays exact)
-            E = bins_flat - gflat
-            mask = jnp.where(
-                E <= -(thr + 1),
-                jnp.float32(2049.0),
-                jnp.where(E <= thr, jnp.float32(2048.0), jnp.float32(0.0)),
-            )
-            combs = []
+            # Issue ALL window matmuls up front, then run the (independent)
+            # histogram update on the VPU while the MXU chews them.
+            wins = []
             for c0, c1 in tiles:
                 s0 = max(0, c0 - r)
                 s1 = min(w, c1 + r)
-                win = jax.lax.dot_general(
-                    hist[:, s0:s1],
-                    s2_ref[s0:s1, c0:c1],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                wins.append(
+                    jax.lax.dot_general(
+                        hist[:, s0:s1],
+                        s2_ref[s0:s1, c0:c1],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
                 )  # [m, c1-c0] f32 window histograms, exact (counts <= 441)
-                wm = win * mask[:, c0:c1]
+            vin = row_vals(y + r + 1)
+            vout = row_vals(y - r)
+            for g in range(G):
+                sl = slice(g * 256, (g + 1) * 256)
+                hist_ref[sl, :] = (
+                    hist[sl, :]
+                    + (vin[g] == bins256).astype(jnp.bfloat16)
+                    - (vout[g] == bins256).astype(jnp.bfloat16)
+                )
+
+            # query masks per block: E = bins - g, packed dual rank weights
+            # (packed field must hold counts up to k*k, <= 2025 for k <= 45,
+            # enforced by the wrapper; packed f32 sum < 2^23 stays exact)
+            vg = row_vals(y)
+            gmask = []
+            for g in range(G):
+                E = bins256 - vg[g]
+                gmask.append(
+                    jnp.where(
+                        E <= -(thr + 1),
+                        jnp.float32(2049.0),
+                        jnp.where(
+                            E <= thr, jnp.float32(2048.0), jnp.float32(0.0)
+                        ),
+                    )
+                )
+            combs = []
+            for (c0, c1), win in zip(tiles, wins):
                 combs.append(
                     jnp.concatenate(
                         [
-                            wm[g * 256 : (g + 1) * 256, :].sum(
-                                axis=0, keepdims=True
-                            )
+                            (
+                                win[g * 256 : (g + 1) * 256, :]
+                                * gmask[g][:, c0:c1]
+                            ).sum(axis=0, keepdims=True)
                             for g in range(G)
                         ],
                         axis=0,
@@ -268,7 +289,6 @@ def _median_residual_kernel(
                 out_ref[pl.ds(c0u + g, 1), pl.ds(y, 1), 0, :] = byte[
                     g : g + 1, :
                 ].reshape(1, 1, w)
-            hist_ref[:, :] = hist + onehot(y + r + 1) - onehot(y - r)
             return c
 
         jax.lax.fori_loop(y_lo, y_hi, row_body, jnp.int32(0))

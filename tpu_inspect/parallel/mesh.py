@@ -30,7 +30,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_inspect.config import DefectParams, GridParams, SegmentationParams
@@ -130,7 +130,7 @@ def _sharded_inspect(
             u,                      # area
             u,                      # verdict
         ),
-        check_rep=False,
+        check_vma=False,
     )(crops, rects, circles, ref_centroids, ref_valid)
 
 
@@ -278,7 +278,7 @@ def _sharded_image_batch(
             P("image", "unit", None, None),
             P("image", "unit", None, None),
         ),
-        check_rep=False,
+        check_vma=False,
     )(images, origins, rects, circles, ref_centroids, ref_valid)
 
 

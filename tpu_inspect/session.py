@@ -282,15 +282,24 @@ class InspectionSession:
         mask = one.defect_masks[0] if one.valid[0] else None
         return mask, int(one.areas[0])
 
-    def test_defect_unit(self, idx: int) -> dict:
+    def test_defect_unit(self, idx: int, verbose: bool = True) -> dict:
         """Single-unit "Test Defect Detection" (indexing_ui.py:1411-1469):
         exits inspection mode, shows Both overlays, recomputes the unit's
         defect mask, and logs ``Unit {row}: defect area={area} px -> NG|OK``.
+
+        With ``verbose`` (the reference single-unit default,
+        indexing_ui.py:1471), the per-stage diagnostics an operator tunes
+        against are logged in the reference's exact formats: seg-ROI area +
+        erode_px (:1494), the empty-ROI skip (:1515), the residual mask
+        area (:1535), the area-filter bounds (:1549), and each skipped
+        too-large contour (:1556).
 
         Returns {'mask', 'area', 'verdict', 'found'}; the caller zooms via
         viewport.center_on_cell (the reference's center_on_cell :1711-1752).
         """
         self.exit_inspection(force_overlay_mode="Both")
+        if verbose:
+            self._log_defect_diagnostics(idx)
         mask, area = self._detect_one(idx)
         if mask is None:
             self.log.log("No defects found (or detection failed).")
@@ -304,6 +313,37 @@ class InspectionSession:
             "verdict": "NG" if verdict else "OK",
             "found": mask is not None,
         }
+
+    def _log_defect_diagnostics(self, idx: int) -> None:
+        """The reference's verbose per-stage debug lines for one unit
+        (indexing_ui.py:1494, :1515, :1535, :1549, :1556), computed by the
+        engine's diagnostic pass (engine.defect_intermediates)."""
+        state = self.results()
+        if state.seg is None:
+            return
+        crops = self._crops()
+        d = engine.defect_intermediates(
+            crops[idx], state.seg.masks[idx], self.defect_params
+        )
+        self.log.log(
+            f"Seg mask area (roi)={d['seg_area0']}, erode_px={d['erode_px']}"
+        )
+        if d["roi_empty"]:
+            self.log.log(
+                "Segmentation mask empty after erode — skipping detection "
+                "for this unit"
+            )
+            return
+        if "resid_area" in d:
+            self.log.log(f"Residual mask area={d['resid_area']}")
+        self.log.log(
+            f"Defect area filter: min={d['min_area']}, max={d['max_area']}, "
+            f"seg_area={d['roi_area']}"
+        )
+        for a in d.get("skipped_large", ()):
+            self.log.log(
+                f"Skipping large contour area={a} (>max={d['max_area']})"
+            )
 
     def auto_update_defect_unit(self, idx: int) -> np.ndarray | None:
         """Debounced live re-run body (indexing_ui.py:1324-1339): silently
