@@ -131,6 +131,56 @@ def test_roi_tail_interpret(interp):
             assert int(np.asarray(col_hi)[i]) == xs.max() + 1
 
 
+def test_seg_tail_flood_verify_branches_interpret(interp):
+    """The tail kernel's largest-component selection takes a flood-from-
+    seed fast path when the seeded component holds a strict majority of
+    the fg, and falls back to the exact label fixpoint otherwise. Drive
+    both branches plus the exact-tie case (where cv2's BBDT first-
+    appearance tie-break must decide) and check against the oracle
+    largest-component selection."""
+    import cv2
+
+    from tpu_inspect.ops import cc as cc_ops
+
+    fp = interp["fp"]
+    h, w = 40, 44
+    masks = np.zeros((4, h, w), np.uint8)
+    # 0: one dominant blob + specks -> fast flood branch
+    masks[0, 5:30, 5:30] = 255
+    masks[0, 35:38, 35:40] = 255
+    # 1: three similar blobs, largest < 50% of fg -> label fallback
+    masks[1, 2:12, 2:14] = 255      # 120 px
+    masks[1, 20:30, 2:13] = 255     # 110 px
+    masks[1, 20:30, 20:31] = 255    # 110 px
+    # 2: two EQUAL components -> tie, must match cv2 tie-break
+    masks[2, 4:14, 4:14] = 255
+    masks[2, 24:34, 24:34] = 255
+    # 3: empty
+    out, area, sx, sy, has, *_ = fp.seg_tail_pallas(
+        jnp.asarray(masks), stages=(), fill=False, out_largest=True
+    )
+    out, area = np.asarray(out), np.asarray(area)
+    for i in range(4):
+        bm, a, ex, ey, hf = (
+            np.asarray(v)[0]
+            for v in cc_ops.largest_component_sums(
+                jnp.asarray(masks[i : i + 1] > 0)
+            )
+        )
+        assert bool(np.asarray(has)[i]) == bool(hf)
+        np.testing.assert_array_equal(out[i] > 0, bm)
+        assert area[i] == a
+        assert np.asarray(sx)[i] == ex and np.asarray(sy)[i] == ey
+        # cross-check the oracle against cv2 itself
+        n, lab, stats, _ = cv2.connectedComponentsWithStats(
+            masks[i], connectivity=8
+        )
+        if n > 1:
+            areas = stats[1:, cv2.CC_STAT_AREA]
+            best = 1 + int(np.argmax(areas))
+            np.testing.assert_array_equal(out[i] > 0, lab == best)
+
+
 def test_blob_filter_interpret(interp):
     from tpu_inspect.ops import contour, morphology
 

@@ -126,7 +126,7 @@ _CHUNK = 4  # units grouped into one matmul M dimension (G*256 rows)
 
 def _median_residual_kernel(
     x_ref, s2_ref, lo_ref, hi_ref, out_ref, hist_ref,
-    *, k, thr, u, h, w,
+    *, k, thr, u, h, w, chunk,
 ):
     """Fused: out = 255 where |x - median_k(x)| > thr else 0.
 
@@ -164,7 +164,7 @@ def _median_residual_kernel(
     """
     r = k // 2
     rank = (k * k + 1) // 2
-    G = _CHUNK
+    G = chunk
     m = G * 256
     bins256 = jax.lax.broadcasted_iota(jnp.int32, (256, w), 0)
     tiles = tuple((c0, min(c0 + 128, w)) for c0 in range(0, w, 128))
@@ -295,17 +295,18 @@ def _median_residual_kernel(
         return carry
 
     jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(u // _CHUNK), chunk_body, jnp.int32(0)
+        jnp.int32(0), jnp.int32(u // chunk), chunk_body, jnp.int32(0)
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "thr"))
+@functools.partial(jax.jit, static_argnames=("k", "thr", "chunk"))
 def median_residual_mask_pallas(
     x: jnp.ndarray,
     k: int,
     thr: int,
     row_lo: jnp.ndarray | None = None,
     row_hi: jnp.ndarray | None = None,
+    chunk: int = _CHUNK,
 ) -> jnp.ndarray:
     """255 where |x - medianBlur(x, k)| > thr, else 0 (uint8, bit-exact vs
     cv2 medianBlur + absdiff + THRESH_BINARY; indexing_ui.py:1519-1535).
@@ -340,7 +341,7 @@ def median_residual_mask_pallas(
         row_hi = jnp.full((u,), h, jnp.int32)
     row_lo = row_lo.astype(jnp.int32)
     row_hi = row_hi.astype(jnp.int32)
-    pad_u = (-u) % _CHUNK
+    pad_u = (-u) % chunk
     if pad_u:
         # pad to a whole group; padded units carry the EMPTY row range
         # (lo=h, hi=0), the neutral element of the group's min/max union,
@@ -350,7 +351,8 @@ def median_residual_mask_pallas(
         row_hi = jnp.concatenate([row_hi, jnp.zeros((pad_u,), jnp.int32)])
     up = u + pad_u
     kernel = functools.partial(
-        _median_residual_kernel, k=k, thr=int(thr), u=up, h=h, w=w
+        _median_residual_kernel, k=k, thr=int(thr), u=up, h=h, w=w,
+        chunk=int(chunk),
     )
     out = pl.pallas_call(
         kernel,
@@ -362,7 +364,7 @@ def median_residual_mask_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((_CHUNK * 256, w), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((chunk * 256, w), jnp.bfloat16)],
     )(
         x.reshape(up, h, 1, w),
         s2,
