@@ -363,8 +363,10 @@ def main():
     # dispatch (each pass data-depends on the previous so XLA cannot hoist),
     # with the verdicts fetched at the end — the per-image time of a
     # production streaming pipeline. N amortizes the per-dispatch tunnel
-    # overhead (~18 ms here); device time per pass is N-independent.
-    N = 32
+    # overhead (~18-22 ms here); device time per pass is N-independent
+    # (measured: x32 -> x64 changes ms/image only by the amortization
+    # delta, matching the fixed-dispatch model).
+    N = 64
 
     def chained(img):
         def body(i, carry):

@@ -459,11 +459,13 @@ def _candidate_mask(
                     sl = jax.lax.dynamic_slice(
                         c, (jnp.int32(0), jnp.int32(0), start), (u, h, W)
                     )
-                    # chunk=8: at the 256-lane window the doubled matmul M
-                    # dimension fits VMEM and measures ~6% faster than the
-                    # full-width kernel's chunk=4 (tools/kernel_bench.py)
+                    # chunk=24 + qdirect rank-query masks: measured 3.24 ->
+                    # 3.12 ms standalone over the round-2 chunk=8 base
+                    # (tools/median_sweep.py; chunk=48 breaks the remote
+                    # Mosaic compile, bf16-compare masks fail verification)
                     cn = median_residual_mask_pallas(
-                        sl, k, thr, row_lo=row_lo, row_hi=row_hi, chunk=8
+                        sl, k, thr, row_lo=row_lo, row_hi=row_hi, chunk=24,
+                        variant="qdirect",
                     )
                     base = jnp.zeros((u, h, w), jnp.uint8)
                     return jax.lax.dynamic_update_slice(

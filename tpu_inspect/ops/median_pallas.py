@@ -126,7 +126,7 @@ _CHUNK = 4  # units grouped into one matmul M dimension (G*256 rows)
 
 def _median_residual_kernel(
     x_ref, s2_ref, lo_ref, hi_ref, out_ref, hist_ref,
-    *, k, thr, u, h, w, chunk,
+    *, k, thr, u, h, w, chunk, variant="base",
 ):
     """Fused: out = 255 where |x - median_k(x)| > thr else 0.
 
@@ -168,6 +168,18 @@ def _median_residual_kernel(
     m = G * 256
     bins256 = jax.lax.broadcasted_iota(jnp.int32, (256, w), 0)
     tiles = tuple((c0, min(c0 + 128, w)) for c0 in range(0, w, 128))
+    # One-hot generation alternatives measured and REJECTED on hardware
+    # (tools/median_sweep.py, 48x315x256 ROI-row workload, chunk=24):
+    # - nibble outer product (two [16, w] compares + one [256, w] multiply
+    #   via broadcast-reshape): 4.12 ms vs 3.15 — Mosaic's [16,16,w]
+    #   broadcast+reshape costs more than the [256, w] compare it saves
+    #   (jnp.repeat lowers to scatter, which Pallas TPU rejects outright);
+    # - bf16-domain compares (half the i32 vreg volume): Mosaic internal
+    #   verification error.
+
+    def onehot_bf16(v):
+        """[1, w] i32 row -> [256, w] bf16 one-hot."""
+        return (v == bins256).astype(jnp.bfloat16)
     # NOTE on the reduce over each group's 256 value-sublanes: riding it on
     # the MXU as a block-ones matmul is a trap. The TPU MXU truncates f32
     # matmul inputs to bf16 (measured on hardware: default precision runs
@@ -209,8 +221,7 @@ def _median_residual_kernel(
         # per 256-block (hist_ref slices are static)
         def init_body(dy, acc):
             vals = row_vals(y_lo + dy - r)
-            return [a + (v == bins256).astype(jnp.bfloat16)
-                    for a, v in zip(acc, vals)]
+            return [a + onehot_bf16(v) for a, v in zip(acc, vals)]
 
         hist0 = jax.lax.fori_loop(
             jnp.int32(0),
@@ -242,9 +253,7 @@ def _median_residual_kernel(
             for g in range(G):
                 sl = slice(g * 256, (g + 1) * 256)
                 hist_ref[sl, :] = (
-                    hist[sl, :]
-                    + (vin[g] == bins256).astype(jnp.bfloat16)
-                    - (vout[g] == bins256).astype(jnp.bfloat16)
+                    hist[sl, :] + onehot_bf16(vin[g]) - onehot_bf16(vout[g])
                 )
 
             # query masks per block: E = bins - g, packed dual rank weights
@@ -253,16 +262,26 @@ def _median_residual_kernel(
             vg = row_vals(y)
             gmask = []
             for g in range(G):
-                E = bins256 - vg[g]
-                gmask.append(
-                    jnp.where(
-                        E <= -(thr + 1),
-                        jnp.float32(2049.0),
+                if variant == "base":
+                    E = bins256 - vg[g]
+                    gmask.append(
                         jnp.where(
-                            E <= thr, jnp.float32(2048.0), jnp.float32(0.0)
-                        ),
+                            E <= -(thr + 1),
+                            jnp.float32(2049.0),
+                            jnp.where(
+                                E <= thr, jnp.float32(2048.0), jnp.float32(0.0)
+                            ),
+                        )
                     )
-                )
+                else:
+                    # direct compares against per-column scalars: skips the
+                    # [256, w] E subtraction (bin <= g+thr <=> bin-g <= thr)
+                    b1 = bins256 <= vg[g] + thr
+                    b2 = bins256 <= vg[g] - (thr + 1)
+                    gmask.append(
+                        jnp.where(b1, jnp.float32(2048.0), jnp.float32(0.0))
+                        + jnp.where(b2, jnp.float32(1.0), jnp.float32(0.0))
+                    )
             combs = []
             for (c0, c1), win in zip(tiles, wins):
                 combs.append(
@@ -299,7 +318,9 @@ def _median_residual_kernel(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "thr", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "thr", "chunk", "variant")
+)
 def median_residual_mask_pallas(
     x: jnp.ndarray,
     k: int,
@@ -307,6 +328,7 @@ def median_residual_mask_pallas(
     row_lo: jnp.ndarray | None = None,
     row_hi: jnp.ndarray | None = None,
     chunk: int = _CHUNK,
+    variant: str = "base",
 ) -> jnp.ndarray:
     """255 where |x - medianBlur(x, k)| > thr, else 0 (uint8, bit-exact vs
     cv2 medianBlur + absdiff + THRESH_BINARY; indexing_ui.py:1519-1535).
@@ -352,7 +374,7 @@ def median_residual_mask_pallas(
     up = u + pad_u
     kernel = functools.partial(
         _median_residual_kernel, k=k, thr=int(thr), u=up, h=h, w=w,
-        chunk=int(chunk),
+        chunk=int(chunk), variant=str(variant),
     )
     out = pl.pallas_call(
         kernel,
