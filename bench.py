@@ -218,24 +218,29 @@ def main_stream():
     log(f"CPU baseline (1 core, OpenCV): {cpu_ms:.1f} ms/frame")
 
     results = []
-    t_mark = None
+    frame_times = []  # per-frame wall ms after warmup (spread for _emit)
+    t_prev = None
     stream = stream_inspect(
         frames, grid, seg, defect, exclusions=wl["exclusions"], prefetch=2
     )
     for i, res in enumerate(stream):
         results.append(res)
-        if i == n_warm - 1:
-            t_mark = time.perf_counter()
-    wall_ms = (time.perf_counter() - t_mark) * 1000.0 / n_meas
+        if i >= n_warm - 1:
+            now = time.perf_counter()
+            if t_prev is not None:
+                frame_times.append((now - t_prev) * 1000.0)
+            t_prev = now
+    wall_ms = float(np.median(frame_times))
     parity = bool(
         (results[0].verdicts == ref_verdicts).all()
         and (results[0].areas == ref_areas).all()
     )
     log(
-        f"stream: {len(results)} frames, {wall_ms:.2f} ms/frame wall "
-        f"(parity on frame 0: {parity})"
+        f"stream: {len(results)} frames, {wall_ms:.2f} ms/frame wall median "
+        f"(min {min(frame_times):.2f}, max {max(frame_times):.2f}; "
+        f"parity on frame 0: {parity})"
     )
-    _emit(metric, wall_ms if parity else None, cpu_ms)
+    _emit(metric, wall_ms if parity else None, cpu_ms, samples=frame_times)
 
 
 def _method_combo_parity(crops) -> bool:

@@ -88,6 +88,27 @@ def test_masks_csv_export_matches_reference_schema(tmp_path):
     assert header == ["index", "mask", "area", "centroid_x", "centroid_y"]
 
 
+def test_thumbnail_export_writes_unit_pngs(tmp_path):
+    # export_thumbnails parity (indexing_ui.py:3127-3140): unit_%04d.png
+    # per crop, None entries skipped
+    import cv2
+
+    from tpu_inspect.persistence import export_thumbnails
+
+    rng = np.random.RandomState(3)
+    crops = [
+        rng.randint(0, 256, size=(12, 10), dtype=np.uint8),
+        None,
+        rng.randint(0, 256, size=(12, 10), dtype=np.uint8),
+    ]
+    n = export_thumbnails(crops, tmp_path)
+    assert n == 2
+    names = sorted(p.name for p in tmp_path.iterdir())
+    assert names == ["unit_0000.png", "unit_0002.png"]
+    back = cv2.imread(str(tmp_path / "unit_0002.png"), cv2.IMREAD_UNCHANGED)
+    assert np.array_equal(back, crops[2])
+
+
 def test_combined_json_round_trip(tmp_path):
     p = sample_grid_params()
     doc = GridDocument(boxes=grid_boxes(p), metadata=grid_metadata(p, 4096, 3000))

@@ -194,6 +194,10 @@ def test_ui_full_workflow(server, grid, image, tmp_path):
     assert status == 200
     assert os.path.exists(os.path.join(mdir, "masks_summary.csv"))
     assert os.path.exists(os.path.join(mdir, "mask_0000.png"))
+    tdir = str(tmp_path / "thumbs")
+    out, status = _call(server, "export_thumbnails", {"dir": tdir})
+    assert status == 200 and out["count"] == 4
+    assert os.path.exists(os.path.join(tdir, "unit_0003.png"))
 
 
 def test_ui_errors(server):

@@ -112,6 +112,9 @@ def cmd_segment(args):
     if args.out:
         csv_path = sess.export_masks(args.out)
         print(f"masks + {csv_path} written")
+    if getattr(args, "thumbnails", None):
+        n = sess.export_thumbnails(args.thumbnails)
+        print(f"exported {n} thumbnails to {args.thumbnails}")
 
 
 def cmd_inspect(args):
@@ -139,6 +142,11 @@ def cmd_inspect(args):
                 args.out, os.path.splitext(os.path.basename(path))[0]
             )
             sess.export_masks(img_dir)
+        if getattr(args, "thumbnails", None):
+            img_dir = os.path.join(
+                args.thumbnails, os.path.splitext(os.path.basename(path))[0]
+            )
+            sess.export_thumbnails(img_dir)
     if args.out:
         os.makedirs(args.out, exist_ok=True)
         with open(os.path.join(args.out, "inspection.json"), "w") as f:
@@ -340,6 +348,12 @@ def main(argv=None):
         p.add_argument("--grid", required=True)
         p.add_argument("--image", nargs="+", required=True)
         p.add_argument("--out", default=None)
+        p.add_argument(
+            "--thumbnails",
+            default=None,
+            metavar="DIR",
+            help="also export per-unit crop PNGs (unit_%%04d.png) to DIR",
+        )
         _add_param_flags(p)
         p.set_defaults(fn=fn)
 

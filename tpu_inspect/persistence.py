@@ -218,6 +218,32 @@ def export_masks_and_csv(masks, dirpath: str | os.PathLike) -> str:
     return csv_path
 
 
+def export_thumbnails(crops, dirpath: str | os.PathLike) -> int:
+    """Write each unit crop as ``unit_%04d.png`` into ``dirpath``
+    (export_thumbnails, indexing_ui.py:3127-3140 — the reference's dead
+    per-unit thumbnail batch export, here wired into the CLI/server).
+
+    ``crops`` is a sequence of uint8 [H, W] gray arrays (this framework's
+    crop store is grayscale end-to-end; the reference saved the color
+    QPixmap crop). ``None`` entries are skipped like the reference skips
+    non-QPixmap item data. Returns the number of files written.
+    """
+    os.makedirs(dirpath, exist_ok=True)
+    n = 0
+    for i, crop in enumerate(crops):
+        if crop is None:
+            continue
+        c = np.asarray(crop, dtype=np.uint8)
+        fpath = os.path.join(dirpath, f"unit_{i:04d}.png")
+        from tpu_inspect import native
+
+        if c.ndim != 2 or not native.encode_png_gray(fpath, c):
+            with open(fpath, "wb") as f:
+                f.write(_encode_png(c))
+        n += 1
+    return n
+
+
 def export_combined_json(
     doc: GridDocument, masks, path: str | os.PathLike | None = None
 ) -> dict:

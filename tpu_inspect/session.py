@@ -386,3 +386,17 @@ class InspectionSession:
         if state.seg is None:
             raise SessionError("run segmentation first")
         return export_masks_and_csv(list(state.seg.masks), dirpath)
+
+    def export_thumbnails(self, dirpath) -> int:
+        """Per-unit crop PNGs, ``unit_%04d.png`` (indexing_ui.py:3127-3140).
+
+        Requires an applied grid (the reference guards on an empty thumb
+        list with 'Apply indexing first')."""
+        from tpu_inspect.persistence import export_thumbnails
+
+        if self.grid is None:
+            raise SessionError(
+                "no thumbnails to export — apply indexing first"
+            )
+        crops = np.asarray(self._crops())
+        return export_thumbnails(list(crops), dirpath)

@@ -324,6 +324,9 @@ class UIServer:
         if op == "export_masks":
             path = s.export_masks(body["dir"])
             return {"ok": True, "csv": path}
+        if op == "export_thumbnails":
+            n = s.export_thumbnails(body["dir"])
+            return {"ok": True, "count": n}
         raise SessionError(f"unknown op: {op}")
 
 
