@@ -369,9 +369,9 @@ def main():
     # with the verdicts fetched at the end — the per-image time of a
     # production streaming pipeline. N amortizes the per-dispatch tunnel
     # overhead (~18-22 ms here); device time per pass is N-independent
-    # (measured: x32 -> x64 changes ms/image only by the amortization
-    # delta, matching the fixed-dispatch model).
-    N = 64
+    # (measured: x32 -> x64 -> x256 changes ms/image only by the
+    # amortization delta, matching the fixed-dispatch model).
+    N = 256
 
     def chained(img):
         def body(i, carry):

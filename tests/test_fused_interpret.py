@@ -248,6 +248,30 @@ def test_median_residual_tiled_interpret(interp):
     ref = np.where(resid > thr, 255, 0).astype(np.uint8)
     np.testing.assert_array_equal(out, ref)
 
+    # ROI-bounded variant (the whole-image defect path): every row inside
+    # the per-unit row bounds whose item column range intersects the col
+    # bounds must be bit-exact; rows/items outside are left unwritten
+    bounds = [(10, 55, 5, 60), (25, 60, 50, 81)]
+    with mock.patch.object(mp, "_ITEM_ENVELOPE", (40, 44)):
+        outb = np.asarray(
+            mp.median_residual_mask_tiled(
+                jnp.asarray(x), k, thr, batch=6,
+                row_lo=jnp.asarray([b[0] for b in bounds], jnp.int32),
+                row_hi=jnp.asarray([b[1] for b in bounds], jnp.int32),
+                col_lo=jnp.asarray([b[2] for b in bounds], jnp.int32),
+                col_hi=jnp.asarray([b[3] for b in bounds], jnp.int32),
+            )
+        )
+    col_t = 44 - (k - 1)
+    for i, (rl, rh, cl, ch) in enumerate(bounds):
+        for j in range(-(-x.shape[2] // col_t)):
+            if cl < (j + 1) * col_t and ch > j * col_t:
+                c0, c1 = j * col_t, min((j + 1) * col_t, x.shape[2])
+                np.testing.assert_array_equal(
+                    outb[i, rl:rh, c0:c1], ref[i, rl:rh, c0:c1],
+                    err_msg=f"unit {i} item-col {j}",
+                )
+
 
 def test_flood_tiled_interpret():
     """Strip-tiled reachability flood (halo-exchanging sweeps) vs a host
@@ -383,3 +407,95 @@ def test_whole_image_defect_path_composed_interpret():
         finally:
             importlib.reload(fl)
             importlib.reload(mp)
+
+
+def test_seg_tail_paired_interpret(interp):
+    """The 2-unit lane-stacked tail kernel must be bit-identical to the
+    per-unit kernel for every variant: thresholded seg tail (morph + fill),
+    roi tail (erode + largest), odd unit counts, and empty units — the gap
+    columns must behave exactly like each unit's out-of-image border."""
+    from tpu_inspect.ops import threshold
+    from tpu_inspect.ops.gaussian import gaussian_blur_u8
+    from tpu_inspect.ops.morph_pallas import _close_open_stages
+
+    fp = interp["fp"]
+    rng = np.random.RandomState(3)
+    u, h, w = 5, 40, 44  # odd u: the pad unit must come back empty
+    crops = rng.randint(0, 256, (u, h, w), dtype=np.uint8)
+    x = gaussian_blur_u8(jnp.asarray(crops), 3)
+    thr = threshold.otsu_threshold(x)
+
+    # seg variant: threshold + close/open + hole fill + centroid stats
+    ref = fp.seg_tail_pallas(
+        x, stages=_close_open_stages(3), fill=True, thr=thr
+    )
+    got = fp.seg_tail_paired_pallas(
+        x, stages=_close_open_stages(3), fill=True, thr=thr
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+    # roi variant: binarize + 5x5 erode + largest component + extents,
+    # with fg touching the inner (stacked) edges and an empty unit
+    masks = (crops > 100).astype(np.uint8) * 255
+    masks[1] = 0
+    masks[2, :, w - 1] = 255  # fg on the unit edge that faces the gap
+    masks[3, :, 0] = 255
+    n = 2
+    stages = (("erode", tuple((dy, -n, n) for dy in range(-n, n + 1))),)
+    ref = fp.seg_tail_pallas(
+        jnp.asarray(masks), stages=stages, fill=False, out_largest=True
+    )
+    got = fp.seg_tail_paired_pallas(
+        jnp.asarray(masks), stages=stages, fill=False, out_largest=True
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_defect_narrow_window_interpret(interp, monkeypatch):
+    """engine._defect_narrow_window (median + blob filter riding one shared
+    ROI column window, lax.cond narrow vs full fallback) on the CPU backend:
+    gates forced open, window shrunk to 24 columns, Pallas in interpret
+    mode. Covers the narrow branch (small ROI spans, including ROIs at the
+    left/right image borders where the shared start clamps) and the runtime
+    fallback (ROI union wider than the window), against the OpenCV oracle."""
+    import cv2
+
+    from tpu_inspect import engine, oracle
+    from tpu_inspect.config import DefectParams
+
+    mp_mod = interp["mp"]
+    bp_mod = interp["bp"]
+    monkeypatch.setattr(engine, "_MEDIAN_COL_WINDOW", 24)
+    monkeypatch.setattr(mp_mod, "median_fits", lambda shape: True)
+    monkeypatch.setattr(bp_mod, "blob_filter_fits", lambda shape: True)
+
+    rng = np.random.RandomState(5)
+    u, h, w = 4, 44, 60
+    crops = rng.randint(0, 256, (u, h, w), dtype=np.uint8)
+    params = DefectParams(median_k=5, erode_px=2).validated()
+
+    cases = {
+        "narrow-mid": [(18, 34), (20, 36), (22, 38), (18, 36)],
+        "narrow-left-clamp": [(0, 14)] * 4,   # start clamps to 0
+        "narrow-right-clamp": [(46, 60)] * 4,  # start clamps to w - W
+        "fallback-wide": [(4, 56)] * 4,        # union exceeds the window
+    }
+    for name, spans in cases.items():
+        masks = np.zeros((u, h, w), np.uint8)
+        for i, (c0, c1) in enumerate(spans):
+            masks[i, 6 : h - 6, c0:c1] = 255
+        out, found, area, verdict = engine._defect_device(
+            jnp.asarray(crops), jnp.asarray(masks), params=params
+        )
+        _, ref_areas, ref_verd = oracle.inspect_units(crops, masks, params)
+        np.testing.assert_array_equal(np.asarray(area), ref_areas, err_msg=name)
+        np.testing.assert_array_equal(np.asarray(verdict), ref_verd, err_msg=name)
+        got = np.asarray(out)
+        for i in range(u):
+            ref = oracle.detect_defects(crops[i], masks[i], params)
+            exp = ref if ref is not None else np.zeros((h, w), np.uint8)
+            np.testing.assert_array_equal(
+                got[i], exp, err_msg=f"{name} unit {i}"
+            )

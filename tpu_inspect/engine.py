@@ -212,7 +212,7 @@ def _segment_device(
     is_reference: bool,
     shape_hw: tuple[int, int],
 ):
-    from tpu_inspect.ops.fused_pallas import seg_tail_pallas, tail_fits
+    from tpu_inspect.ops.fused_pallas import seg_tail_auto, tail_fits
 
     if tail_fits(crops.shape):
         # TPU: threshold compare + morphology + hole fill + alignment-
@@ -232,7 +232,7 @@ def _segment_device(
             with jax.named_scope("otsu"):
                 mask0, thr_v = x, threshold.otsu_threshold(x)
         with jax.named_scope("seg_tail"):
-            mask, area, sx, sy, has_fg, *_ = seg_tail_pallas(
+            mask, area, sx, sy, has_fg, *_ = seg_tail_auto(
                 mask0, stages=stages, fill=True, out_largest=False, thr=thr_v
             )
     else:
@@ -262,7 +262,14 @@ def _segment_device(
         dy = jnp.where(ok, delta[:, 1], 0)
 
     if rects.shape[0] or circles.shape[0]:
-        zone = exclusion_zone(shape_hw, rects, circles, dx, dy)
+        if is_reference:
+            # dx = dy = 0 for every unit on the reference image, so the
+            # rasterized zone is unit-invariant: build it once at [1, H, W]
+            # and let the where broadcast (48x less compare volume than the
+            # per-unit [U, H, W] rasterization)
+            zone = exclusion_zone(shape_hw, rects, circles, dx[:1], dy[:1])
+        else:
+            zone = exclusion_zone(shape_hw, rects, circles, dx, dy)
         mask = jnp.where(zone, jnp.uint8(0), mask)
     # centroid sums stay integers: the host divides them exactly (TPU f64
     # division is emulated and inexact; anchors must be bit-exact)
@@ -349,7 +356,7 @@ def _defect_roi_full(seg_masks: jnp.ndarray, erode_px: int):
     (roi, roi_empty, roi_area [U] i32, row_lo, row_hi, col_lo, col_hi
     [U] i32). The fused kernel emits them for free; fallbacks reduce in
     XLA."""
-    from tpu_inspect.ops.fused_pallas import seg_tail_pallas, tail_fits
+    from tpu_inspect.ops.fused_pallas import seg_tail_auto, tail_fits
 
     if tail_fits(seg_masks.shape):
         # TPU: (2n+1)^2 erode + largest-component selection in one kernel
@@ -360,7 +367,7 @@ def _defect_roi_full(seg_masks: jnp.ndarray, erode_px: int):
             else ()
         )
         roi_u8, area, _, _, has_fg, row_lo, row_hi, col_lo, col_hi = (
-            seg_tail_pallas(
+            seg_tail_auto(
                 seg_masks, stages=stages, fill=False, out_largest=True
             )
         )
@@ -403,17 +410,18 @@ def _defect_roi_fallback(seg_masks: jnp.ndarray, erode_px: int):
     return largest, ~has_fg
 
 
-def _candidate_mask(
-    crops, params: DefectParams, row_lo, row_hi, col_lo=None, col_hi=None
-):
+def _candidate_mask(crops, params: DefectParams, row_lo, row_hi,
+                    col_lo=None, col_hi=None):
     """Pre-ROI defect candidate mask (indexing_ui.py:1519-1539).
 
     Returns (cand [U,H,W] uint8, needs_open) — the residual-threshold or
     Canny plane BEFORE the ROI AND / 3x3 open (those fuse into the blob
     kernel downstream). ``row_lo``/``row_hi`` bound the rows the Pallas
     median kernel processes (rows outside are ANDed away by the ROI);
-    ``col_lo``/``col_hi`` optionally narrow it to a per-unit 256-wide
-    column window around the ROI (see _MEDIAN_COL_WINDOW below)."""
+    ``col_lo``/``col_hi`` additionally bound the strip-tiled whole-image
+    path to the ROI's item grid. The narrow ROI column-window variant
+    (median + blob filter riding one shared 256-wide window) lives in
+    _defect_device."""
     u, h, w = crops.shape
     thr = int(params.threshold)
     if params.method == "threshold":
@@ -434,61 +442,24 @@ def _candidate_mask(
             # only whether it leaves [g-thr, g+thr] (two rank queries).
             # Only rows intersecting the ROI are processed (the result is
             # ANDed with the ROI in the blob kernel); the bounds come out
-            # of the ROI kernel's stats row for free
-            W = _MEDIAN_COL_WINDOW
-            if col_lo is not None and w > W and median_fits((u, h, W)):
-                # 256-wide column window around the union of the ROIs: the
-                # mold spans ~2/3 of the crop width, and 256 has no
-                # lane-padding waste (316 pads to 384). ONE scalar window
-                # start shared by all units — grid units image the same mold
-                # pattern, so their ROI columns align, and a shared start
-                # keeps the slice/unslice single dynamic-slice ops (the
-                # per-unit vmapped form lowered to ~0.3 ms of 48-step while
-                # loops). Outputs outside each ROI are discarded by the ROI
-                # AND, so the kernel's folded border replication only ever
-                # affects discarded columns or true image borders (the start
-                # clamps to the image). Falls back to the full-width kernel
-                # at runtime when the ROI column union exceeds the window.
-                r_h = k // 2
-                lo_all = jnp.min(col_lo).astype(jnp.int32)
-                hi_all = jnp.max(col_hi).astype(jnp.int32)
-                start = jnp.clip(lo_all - r_h, 0, w - W)
-                fits_all = (hi_all - lo_all) <= jnp.int32(W - 2 * r_h)
-
-                def narrow(c):
-                    sl = jax.lax.dynamic_slice(
-                        c, (jnp.int32(0), jnp.int32(0), start), (u, h, W)
-                    )
-                    # chunk=24 + qdirect rank-query masks: measured 3.24 ->
-                    # 3.12 ms standalone over the round-2 chunk=8 base
-                    # (tools/median_sweep.py; chunk=48 breaks the remote
-                    # Mosaic compile, bf16-compare masks fail verification)
-                    cn = median_residual_mask_pallas(
-                        sl, k, thr, row_lo=row_lo, row_hi=row_hi, chunk=24,
-                        variant="qdirect",
-                    )
-                    base = jnp.zeros((u, h, w), jnp.uint8)
-                    return jax.lax.dynamic_update_slice(
-                        base, cn, (jnp.int32(0), jnp.int32(0), start)
-                    )
-
-                def full(c):
-                    return median_residual_mask_pallas(
-                        c, k, thr, row_lo=row_lo, row_hi=row_hi
-                    )
-
-                with jax.named_scope("median_residual_colwin"):
-                    cand = jax.lax.cond(fits_all, narrow, full, crops)
-                return cand, True
+            # of the ROI kernel's stats row for free. (The narrow column-
+            # window variant lives in _defect_device, where the blob filter
+            # rides the same window.)
             with jax.named_scope("median_residual"):
                 cand = median_residual_mask_pallas(
                     crops, k, thr, row_lo=row_lo, row_hi=row_hi
                 )
         elif k * k < 2048 and median_fits_tiled(shape):
             # plane beyond whole-batch VMEM residency (e.g. a single
-            # whole-image crop): strip-tiled march, input stays in HBM
+            # whole-image crop): strip-tiled march, input stays in HBM,
+            # item grid bounded to the ROI's bounding box (rows outside
+            # are unwritten — the blob stage ANDs with the ROI)
             with jax.named_scope("median_residual_tiled"):
-                cand = median_residual_mask_tiled(crops, k, thr)
+                cand = median_residual_mask_tiled(
+                    crops, k, thr,
+                    row_lo=row_lo, row_hi=row_hi,
+                    col_lo=col_lo, col_hi=col_hi,
+                )
         else:
             with jax.named_scope("median_bg"):
                 bg = median.median_blur_u8(crops, k)
@@ -506,6 +477,100 @@ def _candidate_mask(
 _MEDIAN_COL_WINDOW = 256
 
 
+def _defect_narrow_window(
+    crops, params: DefectParams, roi, row_lo, row_hi, col_lo, col_hi,
+    *, min_area: int, max_area,
+):
+    """TPU fast path: median residual AND blob filter ride one shared ROI
+    column window. Returns (out_u8 [U,H,W], area [U]) or None when the
+    static gates don't apply.
+
+    The median kernel runs on a 256-wide window (2 exact lane tiles) around
+    the union of the per-unit ROI column spans; the blob filter then runs on
+    a 255-wide window of the SAME region (255 so its vertex planes pad to
+    256 lanes instead of 384 — the whole contour stage gets ~33% cheaper).
+    ONE scalar window start is shared by all units: grid units image the
+    same mold pattern, so their ROI columns align, and a shared start keeps
+    the slices single dynamic-slice ops (the per-unit vmapped form lowered
+    to ~0.3 ms of 48-step while loops). Candidate pixels live inside the
+    ROI (the blob kernel ANDs with it), and the window construction leaves
+    >= (k//2)-1 background columns between the ROI and any non-image window
+    edge, so the narrow plane's implicit exterior border is contour-
+    equivalent to the full plane's. Falls back to the full-width kernels at
+    runtime (lax.cond) when the ROI column union exceeds the window.
+    Reference semantics: indexing_ui.py:1519-1558.
+    """
+    from tpu_inspect.ops.blob_pallas import blob_filter_fits, blob_filter_pallas
+    from tpu_inspect.ops.median_pallas import (
+        median_fits,
+        median_residual_mask_pallas,
+    )
+
+    u, h, w = crops.shape
+    if params.method != "threshold":
+        return None
+    k = int(params.median_k)
+    if k % 2 == 0:
+        k += 1
+    thr = int(params.threshold)
+    W = _MEDIAN_COL_WINDOW
+    WB = W - 1  # blob window: WB+1 vertex columns pad to exactly 2 tiles
+    if not (
+        k * k < 2048
+        and w > W
+        and median_fits((u, h, W))
+        and median_fits((u, h, w))  # runtime fallback branch
+        and blob_filter_fits((u, h, WB))
+        and blob_filter_fits((u, h, w))
+    ):
+        return None
+    r_h = k // 2
+    lo_all = jnp.min(col_lo).astype(jnp.int32)
+    hi_all = jnp.max(col_hi).astype(jnp.int32)
+    start_m = jnp.clip(lo_all - r_h, 0, w - W)
+    start_b = jnp.clip(lo_all - r_h, 0, w - WB)
+    fits_all = (hi_all - lo_all) <= jnp.int32(W - 2 * r_h)
+
+    def narrow(c):
+        sl = jax.lax.dynamic_slice(
+            c, (jnp.int32(0), jnp.int32(0), start_m), (u, h, W)
+        )
+        # chunk=24 + qdirect rank-query masks: measured 3.24 -> 3.12 ms
+        # standalone over the round-2 chunk=8 base (tools/median_sweep.py;
+        # chunk=48 breaks the remote Mosaic compile)
+        cn = median_residual_mask_pallas(
+            sl, k, thr, row_lo=row_lo, row_hi=row_hi, chunk=24,
+            variant="qdirect",
+        )
+        # blob window sits at start_b >= start_m with start_b - start_m
+        # in {0, 1} (w-WB vs w-W clip); both cover the ROI with margin
+        cb = jax.lax.dynamic_slice(
+            cn, (jnp.int32(0), jnp.int32(0), start_b - start_m), (u, h, WB)
+        )
+        roi_n = jax.lax.dynamic_slice(
+            roi, (jnp.int32(0), jnp.int32(0), start_b), (u, h, WB)
+        )
+        out_n, area = blob_filter_pallas(
+            cb, 2 * max_area, min_x2=2 * min_area, roi=roi_n, pre_open=True
+        )
+        base = jnp.zeros((u, h, w), jnp.uint8)
+        out_full = jax.lax.dynamic_update_slice(
+            base, out_n, (jnp.int32(0), jnp.int32(0), start_b)
+        )
+        return out_full, area
+
+    def full(c):
+        cand = median_residual_mask_pallas(
+            c, k, thr, row_lo=row_lo, row_hi=row_hi
+        )
+        return blob_filter_pallas(
+            cand, 2 * max_area, min_x2=2 * min_area, roi=roi, pre_open=True
+        )
+
+    with jax.named_scope("defect_narrow_window"):
+        return jax.lax.cond(fits_all, narrow, full, crops)
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def _defect_device(crops, seg_masks, *, params: DefectParams):
     u, h, w = crops.shape
@@ -513,10 +578,6 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
         roi, roi_empty, roi_area, row_lo, row_hi, col_lo, col_hi = (
             _defect_roi_full(seg_masks, int(params.erode_px))
         )
-
-    cand, needs_open = _candidate_mask(
-        crops, params, row_lo, row_hi, col_lo, col_hi
-    )
 
     # area filter (indexing_ui.py:1542-1558): Python int() truncation of
     # roi_area * 0.98 computed in double; comparisons run on exact 2x-areas
@@ -528,6 +589,20 @@ def _defect_device(crops, seg_masks, *, params: DefectParams):
         ).astype(jnp.int32),
     )
     from tpu_inspect.ops.blob_pallas import blob_filter_fits, blob_filter_pallas
+
+    narrow_out = _defect_narrow_window(
+        crops, params, roi, row_lo, row_hi, col_lo, col_hi,
+        min_area=min_area, max_area=max_area,
+    )
+    if narrow_out is not None:
+        out_u8, area = narrow_out
+        found = area > jnp.int32(0)
+        verdict = found & (area >= jnp.int32(min_area))
+        return out_u8, found, area, verdict
+
+    cand, needs_open = _candidate_mask(
+        crops, params, row_lo, row_hi, col_lo, col_hi
+    )
 
     with jax.named_scope("blob_filter"):
         if blob_filter_fits(crops.shape):

@@ -408,7 +408,14 @@ _ITEM_ENVELOPE = (315, 316)
 
 
 def median_residual_mask_tiled(
-    x: jnp.ndarray, k: int, thr: int, batch: int = 48
+    x: jnp.ndarray,
+    k: int,
+    thr: int,
+    batch: int = 48,
+    row_lo: jnp.ndarray | None = None,
+    row_hi: jnp.ndarray | None = None,
+    col_lo: jnp.ndarray | None = None,
+    col_hi: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Grid-tiled median_residual_mask_pallas for planes beyond whole-batch
     VMEM residency (same contract, bit-exact).
@@ -425,6 +432,14 @@ def median_residual_mask_tiled(
     the true image borders, where it is correct. Items are processed
     ``batch`` at a time (the last call zero-padded) so every call shares
     one compiled kernel.
+
+    ``row_lo``/``row_hi``/``col_lo``/``col_hi`` ([U] int32, optional)
+    bound the computed region per unit, exactly like the resident kernel's
+    row bounds: each item intersects its plane-row range with the unit's
+    ROI row range, and items entirely outside the ROI rows OR columns get
+    the empty range, so the whole-image defect pass only pays for ~the
+    mold's bounding box instead of the full plane. Rows outside the bounds
+    are left UNWRITTEN (callers mask with the ROI, indexing_ui.py:1528).
     """
     assert k % 2 == 1 and k >= 1
     u, h, w = x.shape
@@ -470,12 +485,40 @@ def median_residual_mask_tiled(
         items = jnp.concatenate(
             [items, jnp.zeros((pad, ih, iw), items.dtype)], axis=0
         )
-    lo = jnp.full((batch,), r, jnp.int32)
-    hi = jnp.full((batch,), r + row_t, jnp.int32)
+    if row_lo is None:
+        lo_all = jnp.full((n,), r, jnp.int32)
+        hi_all = jnp.full((n,), r + row_t, jnp.int32)
+    else:
+        # per-item kernel row range = the item's plane rows intersected
+        # with its unit's ROI row range, shifted into halo coordinates;
+        # items whose plane rows or columns miss the ROI entirely carry
+        # the empty range (lo=ih, hi=0), the kernel's skip neutral
+        i_idx = jnp.arange(n_r, dtype=jnp.int32)[None, :, None]
+        j_idx = jnp.arange(n_c, dtype=jnp.int32)[None, None, :]
+        r0 = row_lo.astype(jnp.int32)[:, None, None] - i_idx * row_t
+        r1 = row_hi.astype(jnp.int32)[:, None, None] - i_idx * row_t
+        lo_l = jnp.clip(r0, 0, row_t)
+        hi_l = jnp.clip(r1, 0, row_t)
+        ok = hi_l > lo_l
+        if col_lo is not None:
+            c0 = col_lo.astype(jnp.int32)[:, None, None]
+            c1 = col_hi.astype(jnp.int32)[:, None, None]
+            ok = ok & (c0 < (j_idx + 1) * col_t) & (c1 > j_idx * col_t)
+        else:
+            ok = jnp.broadcast_to(ok, (u, n_r, n_c))
+            lo_l = jnp.broadcast_to(lo_l, (u, n_r, n_c))
+            hi_l = jnp.broadcast_to(hi_l, (u, n_r, n_c))
+        lo_all = jnp.where(ok, lo_l + r, jnp.int32(ih)).reshape(n)
+        hi_all = jnp.where(ok, hi_l + r, jnp.int32(0)).reshape(n)
+    if pad:
+        lo_all = jnp.concatenate([lo_all, jnp.full((pad,), ih, jnp.int32)])
+        hi_all = jnp.concatenate([hi_all, jnp.zeros((pad,), jnp.int32)])
     outs = []
     for b0 in range(0, items.shape[0], batch):
         o = median_residual_mask_pallas(
-            items[b0 : b0 + batch], k, thr, row_lo=lo, row_hi=hi
+            items[b0 : b0 + batch], k, thr,
+            row_lo=lo_all[b0 : b0 + batch],
+            row_hi=hi_all[b0 : b0 + batch],
         )
         outs.append(o[:, r : r + row_t, r : r + col_t])
     out = jnp.concatenate(outs, axis=0)[:n]
