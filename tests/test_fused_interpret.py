@@ -499,3 +499,87 @@ def test_defect_narrow_window_interpret(interp, monkeypatch):
             np.testing.assert_array_equal(
                 got[i], exp, err_msg=f"{name} unit {i}"
             )
+
+
+def test_tiled_component_tables_interpret(interp):
+    """Whole-image largest-component stats via the per-tile component-table
+    kernel (sort-free fast path) AND its overflow fallback to the segment-
+    sort path, both bit-identical to the generic XLA sort formulation.
+    Tile envelope shrunk so several tiles + cross-tile fragments are
+    exercised in interpret mode."""
+    import tpu_inspect.ops.cc as cc_mod
+
+    ccp = interp["ccp"]
+    from tpu_inspect.synthetic import random_blob_mask
+
+    masks = np.stack(
+        [random_blob_mask(40, 44, seed=s, n_blobs=4) for s in (7, 8)]
+    )
+    masks[1, :, 20:22] = 0  # split fragments across tile columns
+    fg = jnp.asarray(masks > 0)
+    labels = cc_mod.label_components(fg)
+    ref = [np.asarray(v) for v in cc_mod.largest_component_sums(fg)]
+
+    out = cc_mod.largest_component_sums_tiled(
+        fg, labels, tile_hw=(16, 20), use_tables=True
+    )
+    for r, g in zip(ref, out):
+        np.testing.assert_array_equal(r, np.asarray(g))
+
+    # force the overflow branch: a 2-component cap trips on any tile with
+    # >2 fragments, routing the winner through the sort path at runtime
+    with mock.patch.object(ccp, "_TABLE_K", 2):
+        out2 = cc_mod.largest_component_sums_tiled(
+            fg, labels, tile_hw=(16, 20), use_tables=True
+        )
+    for r, g in zip(ref, out2):
+        np.testing.assert_array_equal(r, np.asarray(g))
+
+
+def test_green_filter_tables_interpret(interp):
+    """The Green's-filter per-tile (key, signed sum) tables + paint kernel
+    (sort-free fast path) and the overflow fallback, vs the pure-XLA sort
+    path on the same inputs."""
+    import cv2
+
+    import tpu_inspect.ops.cc as cc_mod
+    from tpu_inspect.ops.contour import _green_filter_tiled, _vertex_attribution
+    from tpu_inspect.ops.hole_fill import exterior_background
+
+    ccp = interp["ccp"]
+    rng = np.random.RandomState(12)
+    h, w = 40, 44
+    m = np.zeros((1, h, w), np.uint8)
+    for _ in range(8):
+        y, x = rng.randint(0, h - 10), rng.randint(0, w - 10)
+        m[0, y : y + rng.randint(2, 9), x : x + rng.randint(2, 9)] = 255
+    fg = jnp.asarray(m > 0)
+    ext = exterior_background(fg)
+    fill_labels = cc_mod.label_components(~ext, plan="rc")
+    fg_labels = cc_mod.label_components(fg, plan="rc")
+    top = fg & (fg_labels == fill_labels)
+    attr, contrib = _vertex_attribution(top, ext, fill_labels)
+    bias = 1 << int(np.ceil(np.log2(h + w + 4)))
+    maxs = jnp.full((1,), 2**30, jnp.int32)
+
+    ref_kv, ref_found = _green_filter_tiled(
+        attr, contrib, h * w, bias, jnp.int32(8), maxs,
+        tile_vhw=(16, 16), use_tables=False,
+    )
+    got_kv, got_found = _green_filter_tiled(
+        attr, contrib, h * w, bias, jnp.int32(8), maxs,
+        tile_vhw=(16, 16), use_tables=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref_kv), np.asarray(got_kv))
+    np.testing.assert_array_equal(np.asarray(ref_found), np.asarray(got_found))
+
+    # overflow fallback: 2-key cap trips -> the cond takes the sort path
+    with mock.patch.object(ccp, "_TABLE_K", 2):
+        ovf_kv, ovf_found = _green_filter_tiled(
+            attr, contrib, h * w, bias, jnp.int32(8), maxs,
+            tile_vhw=(16, 16), use_tables=True,
+        )
+    np.testing.assert_array_equal(np.asarray(ref_kv), np.asarray(ovf_kv))
+    np.testing.assert_array_equal(
+        np.asarray(ref_found), np.asarray(ovf_found)
+    )

@@ -410,10 +410,37 @@ def largest_component_sums(fg: jnp.ndarray):
     return best_mask, area, sx, sy, has_fg
 
 
+def _winner_per_unit(keys, areas, brs, u: int, hw: int, sent):
+    """Per-unit winner from 1-D candidate rows (key = unit*hw + root):
+    max area, ties by min block rank — one tiny 4-operand sort + a
+    searchsorted over the unit ids. Returns [u] int32 root labels
+    (hw when the unit has no candidate)."""
+    live = keys < sent
+    unit_of = jnp.where(live, keys // hw, jnp.int32(u))
+    area_rank = jnp.where(live, jnp.int32(hw) - areas, jnp.int32(hw) + 1)
+    ku, ka, kb, kk = jax.lax.sort(
+        (unit_of[None], area_rank[None], brs[None], keys[None]),
+        dimension=1,
+        num_keys=3,
+    )
+    firsts = jnp.clip(
+        jnp.searchsorted(ku[0], jnp.arange(u, dtype=jnp.int32)),
+        0,
+        ku.shape[1] - 1,
+    )
+    present = ku[0][firsts] == jnp.arange(u, dtype=jnp.int32)
+    return jnp.where(
+        present,
+        kk[0][firsts] - jnp.arange(u, dtype=jnp.int32) * hw,
+        jnp.int32(hw),
+    )
+
+
 def largest_component_sums_tiled(
     fg: jnp.ndarray,
     labels: jnp.ndarray,
     tile_hw: tuple[int, int] = _TILE_HW,
+    use_tables: bool | None = None,
 ):
     """largest_component_sums for whole-image planes, given exact labels
     (the tile-seeded fixpoint output) — no global [U, H*W] sort.
@@ -468,164 +495,215 @@ def largest_component_sums_tiled(
         )
 
     keys_t = tile(key_img, u * hw)
-    br_t = tile(br_img, 0).reshape(t_n, thw)
-    keys_f = keys_t.reshape(t_n, thw)
-    svi = jnp.broadcast_to(
-        jnp.arange(thw, dtype=jnp.int32)[None, :], (t_n, thw)
-    )
 
-    # per-tile runs; num_keys=2 puts each run's min block rank at its start
-    s, br2, si = jax.lax.sort((keys_f, br_t, svi), dimension=1, num_keys=2)
-    run_start, next_start, newrun = _run_geometry(s)
-    run_len = next_start - run_start
-    valid = newrun & (s < sent)
+    # ---- sort-free front end: per-tile component tables from a Pallas
+    # kernel (a handful of masked-min sweeps per tile — mold masks hold
+    # 1-5 fragments per tile), aggregated on a [1, T*128] table. The
+    # [T, th*tw] segment sorts + ring machinery below remain as the exact
+    # runtime fallback for tiles with > _TABLE_K distinct components.
+    from tpu_inspect.ops.cc_pallas import tile_component_tables_pallas
 
-    # ring membership is ARITHMETIC on the carried original index: a
-    # position is on its tile's boundary ring iff its row/col is extremal
-    sr_, sc_ = si // tw, si % tw
-    rf = (
-        (sr_ == 0) | (sr_ == th - 1) | (sc_ == 0) | (sc_ == tw - 1)
-    ).astype(jnp.int32)
-    # run-level ring membership, valid at START positions: reverse cummin
-    # of 2*run_start + (1 - flag) — earlier runs strictly dominate the
-    # suffix min, so at a run's start the min is 2*own_start iff the run
-    # has a ring pixel
-    rcmin = jax.lax.cummin(2 * run_start + (1 - rf), axis=1, reverse=True)
-    ring_any = rcmin == 2 * run_start
-    idxs = svi  # unsorted iota view for the inverse sort below
-
-    # boundary-ring lookup: ring pixel keys -> their runs (searchsorted
-    # 'left' on the sorted keys IS the run start)
-    ring_r = jnp.concatenate(
-        [
-            jnp.zeros((tw,), jnp.int32),
-            jnp.full((tw,), th - 1, jnp.int32),
-            jnp.arange(th, dtype=jnp.int32),
-            jnp.arange(th, dtype=jnp.int32),
-        ]
+    thp = -(-th // 8) * 8
+    twp = -(-tw // 128) * 128
+    keys_pad = jnp.pad(
+        keys_t,
+        ((0, 0), (0, thp - th), (0, twp - tw)),
+        constant_values=u * hw,
     )
-    ring_c = jnp.concatenate(
-        [
-            jnp.arange(tw, dtype=jnp.int32),
-            jnp.arange(tw, dtype=jnp.int32),
-            jnp.zeros((th,), jnp.int32),
-            jnp.full((th,), tw - 1, jnp.int32),
-        ]
-    )
-    r_n = ring_r.shape[0]
-    ring_keys = keys_t[:, ring_r, ring_c]  # [T, R]
-    ring_valid = ring_keys < sent
-    # ring entries' sorted positions via the inverse permutation — a
-    # multi-segment sort where a vmapped searchsorted is a ~27 ms
-    # binary-search while loop at this size. Ring positions are STATIC,
-    # so extracting them from inv is pure border slicing; (run_start,
-    # run_len) ride ONE packed int64 gather.
-    _, inv = jax.lax.sort((si, idxs), dimension=1, num_keys=1)
-    inv2 = inv.reshape(t_n, th, tw)
-    pos_e = jnp.concatenate(
-        [inv2[:, 0, :], inv2[:, th - 1, :], inv2[:, :, 0], inv2[:, :, tw - 1]],
-        axis=1,
-    )
-    rl_pack = (
-        run_start.astype(jnp.int64) * (thw + 1) + run_len.astype(jnp.int64)
-    )
-    rl_r = jnp.take_along_axis(rl_pack, pos_e, axis=1)
-    rs_r = (rl_r // (thw + 1)).astype(jnp.int32)
-    ring_area = (rl_r % (thw + 1)).astype(jnp.int32)
-    ring_br = jnp.take_along_axis(br2, rs_r, axis=1)  # min br at run start
-
-    # interior candidates: best non-ring run per tile
-    cand = valid & ~ring_any
-    area_c = jnp.where(cand, run_len, 0)
-    amax_int = area_c.max(axis=1)
-    br_c = jnp.where(cand & (run_len == amax_int[:, None]), br2, brbig)
-    brmin_int = br_c.min(axis=1)
-    pick = (
-        cand & (run_len == amax_int[:, None]) & (br2 == brmin_int[:, None])
-    )
-    ppos = jnp.argmax(pick, axis=1)
-    int_ok = amax_int > 0
-    int_key = jnp.where(
-        int_ok, jnp.take_along_axis(s, ppos[:, None], axis=1)[:, 0], sent
-    )
-    int_area = jnp.where(int_ok, amax_int, 0)
-    int_br = jnp.where(int_ok, brmin_int, brbig)
-
-    # ring aggregation table, sorted ONCE with a key-major composite: the
-    # same order both dedups (root, tile) pairs (adjacent) and groups
-    # entries per root (contiguous runs)
-    m = t_n * r_n
-    tgrid32 = jnp.broadcast_to(
-        jnp.arange(t_n, dtype=jnp.int32)[:, None], (t_n, r_n)
-    )
-    dsent = jnp.int64(2**62)
-    dkey = jnp.where(
-        ring_valid,
-        ring_keys.astype(jnp.int64) * t_n + tgrid32.astype(jnp.int64),
-        dsent,
-    ).reshape(1, m)
-    # (area, br) ride the sort as ONE packed int64 payload
-    pay = (
-        jnp.where(ring_valid, ring_area, 0).astype(jnp.int64) * (2**31)
-        + jnp.where(ring_valid, ring_br, brbig).astype(jnp.int64)
-    ).reshape(1, m)
-    dk_s, pay_s = jax.lax.sort((dkey, pay), dimension=1, num_keys=1)
-    k2 = jnp.where(dk_s < dsent, (dk_s // t_n).astype(jnp.int32), sent)
-    _, _, dnew = _run_geometry(dk_s)
-    uniq = dnew & (dk_s < dsent)
-    a_u = jnp.where(uniq, (pay_s >> 31).astype(jnp.int32), 0)
-    b_u = jnp.where(
-        uniq, (pay_s % (2**31)).astype(jnp.int32), brbig
-    )
-
-    # per-root suffix aggregates via log-tree shifted ops (int32; areas
-    # and their per-root sums are bounded by hw). Duplicate (root, tile)
-    # entries ride along neutralized, so the doubling bound is the table.
-    tot = a_u
-    brm = b_u
-    d = 1
-    while d < m:
-        same = jnp.concatenate(
-            [k2[:, d:] == k2[:, :-d], jnp.zeros((1, d), bool)], axis=1
+    org = np.zeros((t_n, 2), dtype=np.int32)
+    for uu in range(u):
+        for i in range(nh):
+            for j in range(nw):
+                org[(uu * nh + i) * nw + j] = (i * th, j * tw)
+    if use_tables is None:
+        try:
+            use_tables = jax.devices()[0].platform == "tpu"
+        except Exception:
+            use_tables = False
+    if use_tables:
+        tables = tile_component_tables_pallas(
+            keys_pad, jnp.asarray(org), w_img=w, sent=u * hw
         )
-        tot_s = jnp.concatenate(
-            [tot[:, d:], jnp.zeros((1, d), jnp.int32)], axis=1
-        )
-        brm_s = jnp.concatenate(
-            [brm[:, d:], jnp.full((1, d), brbig, jnp.int32)], axis=1
-        )
-        tot = tot + jnp.where(same, tot_s, 0)
-        brm = jnp.minimum(brm, jnp.where(same, brm_s, brbig))
-        d *= 2
+        ovf = tables[:, 3, 0].max() > 0
 
-    _, _, knew = _run_geometry(k2)
-    ring_cand = knew & (k2 < sent)
-    ring_key_c = jnp.where(ring_cand, k2, sent)[0]
-    ring_area_c = jnp.where(ring_cand, tot, 0)[0]
-    ring_br_c = jnp.where(ring_cand, brm, brbig)[0]
+    def _table_path(_):
+        mt = t_n * tables.shape[2]
+        tk = tables[:, 0, :].reshape(1, mt)
+        ta = tables[:, 1, :].reshape(1, mt)
+        tb = jnp.where(
+            tables[:, 0, :] < sent, tables[:, 2, :], brbig
+        ).reshape(1, mt)
+        ks, as_, bs = jax.lax.sort((tk, ta, tb), dimension=1, num_keys=1)
+        tot = jnp.where(ks < sent, as_, 0)
+        brm = jnp.where(ks < sent, bs, brbig)
+        d = 1
+        while d < mt:
+            same = jnp.concatenate(
+                [ks[:, d:] == ks[:, :-d], jnp.zeros((1, d), bool)], axis=1
+            )
+            tot_s = jnp.concatenate(
+                [tot[:, d:], jnp.zeros((1, d), jnp.int32)], axis=1
+            )
+            brm_s = jnp.concatenate(
+                [brm[:, d:], jnp.full((1, d), brbig, jnp.int32)], axis=1
+            )
+            tot = tot + jnp.where(same, tot_s, 0)
+            brm = jnp.minimum(brm, jnp.where(same, brm_s, brbig))
+            d *= 2
+        _, _, knew = _run_geometry(ks)
+        cand = knew & (ks < sent)
+        key_c = jnp.where(cand, ks, sent)[0]
+        area_c = jnp.where(cand, tot, 0)[0]
+        br_c = jnp.where(cand, brm, brbig)[0]
+        return _winner_per_unit(key_c, area_c, br_c, u, hw, sent)
 
-    # winner per unit across both candidate sets
-    all_key = jnp.concatenate([int_key, ring_key_c])
-    all_area = jnp.concatenate([int_area, ring_area_c])
-    all_br = jnp.concatenate([int_br, ring_br_c])
-    live = all_key < sent
-    unit_of = jnp.where(live, all_key // hw, jnp.int32(u))
-    area_rank = jnp.where(live, jnp.int32(hw) - all_area, jnp.int32(hw) + 1)
-    ku, ka, kb, kk = jax.lax.sort(
-        (unit_of[None], area_rank[None], all_br[None], all_key[None]),
-        dimension=1,
-        num_keys=3,
-    )
-    firsts = jnp.clip(
-        jnp.searchsorted(ku[0], jnp.arange(u, dtype=jnp.int32)),
-        0,
-        ku.shape[1] - 1,
-    )
-    present = ku[0][firsts] == jnp.arange(u, dtype=jnp.int32)
-    win_label = jnp.where(
-        present, kk[0][firsts] - jnp.arange(u, dtype=jnp.int32) * hw,
-        jnp.int32(hw),
-    )
+    def _sort_path(_):
+        br_t = tile(br_img, 0).reshape(t_n, thw)
+        keys_f = keys_t.reshape(t_n, thw)
+        svi = jnp.broadcast_to(
+            jnp.arange(thw, dtype=jnp.int32)[None, :], (t_n, thw)
+        )
+
+        # per-tile runs; num_keys=2 puts each run's min block rank at its
+        # start
+        s, br2, si = jax.lax.sort((keys_f, br_t, svi), dimension=1, num_keys=2)
+        run_start, next_start, newrun = _run_geometry(s)
+        run_len = next_start - run_start
+        valid = newrun & (s < sent)
+
+        # ring membership is ARITHMETIC on the carried original index: a
+        # position is on its tile's boundary ring iff its row/col is extremal
+        sr_, sc_ = si // tw, si % tw
+        rf = (
+            (sr_ == 0) | (sr_ == th - 1) | (sc_ == 0) | (sc_ == tw - 1)
+        ).astype(jnp.int32)
+        # run-level ring membership, valid at START positions: reverse cummin
+        # of 2*run_start + (1 - flag) — earlier runs strictly dominate the
+        # suffix min, so at a run's start the min is 2*own_start iff the run
+        # has a ring pixel
+        rcmin = jax.lax.cummin(2 * run_start + (1 - rf), axis=1, reverse=True)
+        ring_any = rcmin == 2 * run_start
+        idxs = svi  # unsorted iota view for the inverse sort below
+
+        # boundary-ring lookup: ring pixel keys -> their runs (searchsorted
+        # 'left' on the sorted keys IS the run start)
+        ring_r = jnp.concatenate(
+            [
+                jnp.zeros((tw,), jnp.int32),
+                jnp.full((tw,), th - 1, jnp.int32),
+                jnp.arange(th, dtype=jnp.int32),
+                jnp.arange(th, dtype=jnp.int32),
+            ]
+        )
+        ring_c = jnp.concatenate(
+            [
+                jnp.arange(tw, dtype=jnp.int32),
+                jnp.arange(tw, dtype=jnp.int32),
+                jnp.zeros((th,), jnp.int32),
+                jnp.full((th,), tw - 1, jnp.int32),
+            ]
+        )
+        r_n = ring_r.shape[0]
+        ring_keys = keys_t[:, ring_r, ring_c]  # [T, R]
+        ring_valid = ring_keys < sent
+        # ring entries' sorted positions via the inverse permutation — a
+        # multi-segment sort where a vmapped searchsorted is a ~27 ms
+        # binary-search while loop at this size. Ring positions are STATIC,
+        # so extracting them from inv is pure border slicing; (run_start,
+        # run_len) ride ONE packed int64 gather.
+        _, inv = jax.lax.sort((si, idxs), dimension=1, num_keys=1)
+        inv2 = inv.reshape(t_n, th, tw)
+        pos_e = jnp.concatenate(
+            [inv2[:, 0, :], inv2[:, th - 1, :], inv2[:, :, 0], inv2[:, :, tw - 1]],
+            axis=1,
+        )
+        rl_pack = (
+            run_start.astype(jnp.int64) * (thw + 1) + run_len.astype(jnp.int64)
+        )
+        rl_r = jnp.take_along_axis(rl_pack, pos_e, axis=1)
+        rs_r = (rl_r // (thw + 1)).astype(jnp.int32)
+        ring_area = (rl_r % (thw + 1)).astype(jnp.int32)
+        ring_br = jnp.take_along_axis(br2, rs_r, axis=1)  # min br at run start
+
+        # interior candidates: best non-ring run per tile
+        cand = valid & ~ring_any
+        area_c = jnp.where(cand, run_len, 0)
+        amax_int = area_c.max(axis=1)
+        br_c = jnp.where(cand & (run_len == amax_int[:, None]), br2, brbig)
+        brmin_int = br_c.min(axis=1)
+        pick = (
+            cand & (run_len == amax_int[:, None]) & (br2 == brmin_int[:, None])
+        )
+        ppos = jnp.argmax(pick, axis=1)
+        int_ok = amax_int > 0
+        int_key = jnp.where(
+            int_ok, jnp.take_along_axis(s, ppos[:, None], axis=1)[:, 0], sent
+        )
+        int_area = jnp.where(int_ok, amax_int, 0)
+        int_br = jnp.where(int_ok, brmin_int, brbig)
+
+        # ring aggregation table, sorted ONCE with a key-major composite: the
+        # same order both dedups (root, tile) pairs (adjacent) and groups
+        # entries per root (contiguous runs)
+        m = t_n * r_n
+        tgrid32 = jnp.broadcast_to(
+            jnp.arange(t_n, dtype=jnp.int32)[:, None], (t_n, r_n)
+        )
+        dsent = jnp.int64(2**62)
+        dkey = jnp.where(
+            ring_valid,
+            ring_keys.astype(jnp.int64) * t_n + tgrid32.astype(jnp.int64),
+            dsent,
+        ).reshape(1, m)
+        # (area, br) ride the sort as ONE packed int64 payload
+        pay = (
+            jnp.where(ring_valid, ring_area, 0).astype(jnp.int64) * (2**31)
+            + jnp.where(ring_valid, ring_br, brbig).astype(jnp.int64)
+        ).reshape(1, m)
+        dk_s, pay_s = jax.lax.sort((dkey, pay), dimension=1, num_keys=1)
+        k2 = jnp.where(dk_s < dsent, (dk_s // t_n).astype(jnp.int32), sent)
+        _, _, dnew = _run_geometry(dk_s)
+        uniq = dnew & (dk_s < dsent)
+        a_u = jnp.where(uniq, (pay_s >> 31).astype(jnp.int32), 0)
+        b_u = jnp.where(
+            uniq, (pay_s % (2**31)).astype(jnp.int32), brbig
+        )
+
+        # per-root suffix aggregates via log-tree shifted ops (int32; areas
+        # and their per-root sums are bounded by hw). Duplicate (root, tile)
+        # entries ride along neutralized, so the doubling bound is the table.
+        tot = a_u
+        brm = b_u
+        d = 1
+        while d < m:
+            same = jnp.concatenate(
+                [k2[:, d:] == k2[:, :-d], jnp.zeros((1, d), bool)], axis=1
+            )
+            tot_s = jnp.concatenate(
+                [tot[:, d:], jnp.zeros((1, d), jnp.int32)], axis=1
+            )
+            brm_s = jnp.concatenate(
+                [brm[:, d:], jnp.full((1, d), brbig, jnp.int32)], axis=1
+            )
+            tot = tot + jnp.where(same, tot_s, 0)
+            brm = jnp.minimum(brm, jnp.where(same, brm_s, brbig))
+            d *= 2
+
+        _, _, knew = _run_geometry(k2)
+        ring_cand = knew & (k2 < sent)
+        ring_key_c = jnp.where(ring_cand, k2, sent)[0]
+        ring_area_c = jnp.where(ring_cand, tot, 0)[0]
+        ring_br_c = jnp.where(ring_cand, brm, brbig)[0]
+
+        all_key = jnp.concatenate([int_key, ring_key_c])
+        all_area = jnp.concatenate([int_area, ring_area_c])
+        all_br = jnp.concatenate([int_br, ring_br_c])
+        return _winner_per_unit(all_key, all_area, all_br, u, hw, sent)
+
+    if use_tables:
+        win_label = jax.lax.cond(ovf, _sort_path, _table_path, jnp.int32(0))
+    else:
+        win_label = _sort_path(jnp.int32(0))
 
     best_mask = fg & (labels == win_label[:, None, None])
     area = best_mask.sum(axis=(1, 2), dtype=jnp.int32)

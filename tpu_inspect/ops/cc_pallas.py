@@ -515,3 +515,266 @@ def label_components_pallas(fg: jnp.ndarray, plan: str = "crc") -> jnp.ndarray:
         ],
     )(fg.astype(jnp.uint8))
     return out[:, :h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Per-tile component tables: the sort-free aggregation front end for
+# whole-image largest-component stats (ops.cc.largest_component_sums_tiled)
+# ---------------------------------------------------------------------------
+
+_TABLE_K = 128  # component rows per tile (one stats-row lane each)
+
+
+def _tile_tables_kernel(
+    keys_hbm, org_ref, out_ref, buf, sem_in,
+    *, t: int, w_img: int, sent: int,
+):
+    """For each [thp, twp] key tile (component key per fg pixel, ``sent``
+    on background/padding): enumerate the distinct keys present with
+    vectorized masked-min sweeps and emit (key, area, min block rank) into
+    one [8, 128] stats row — lane k holds the k-th distinct key.
+
+    Mold-style masks have 1-5 fragments per tile, so the while loop runs a
+    handful of cheap VMEM passes instead of the [T, th*tw] segment sorts
+    the sort-based aggregation pays. Tiles with more than 128 distinct
+    keys set the overflow flag (row 3, lane 0); the caller falls back to
+    the exact sort path at runtime.
+    """
+    thp, twp = buf.shape
+    bw = (w_img + 1) // 2
+    brbig = jnp.int32(2**30)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+    z = jnp.zeros((1, 8, 128), jnp.int32)
+
+    def tile_body(ti, carry):
+        cp = pltpu.make_async_copy(keys_hbm.at[ti], buf, sem_in)
+        cp.start()
+        cp.wait()
+        plane = buf[:, :]
+        oy = org_ref[ti, 0]
+        ox = org_ref[ti, 1]
+        yy = jax.lax.broadcasted_iota(jnp.int32, (thp, twp), 0) + oy
+        xx = jax.lax.broadcasted_iota(jnp.int32, (thp, twp), 1) + ox
+        br = ((yy >> 1) * bw + (xx >> 1)) * 4 + (yy & 1) * 2 + (xx & 1)
+
+        def cond(c):
+            return (c[0] < jnp.int32(sent)) & (c[2] < jnp.int32(_TABLE_K))
+
+        def body(c):
+            nxt, row, cnt = c
+            m = plane == nxt
+            area = _sum_f32exact(m.astype(jnp.int32), thp)
+            brm = jnp.where(m, br, brbig).min()
+            at = lane == cnt
+            row = (
+                row
+                + jnp.where((rowi == 0) & at, nxt - jnp.int32(sent), z)
+                + jnp.where((rowi == 1) & at, area, z)
+                + jnp.where((rowi == 2) & at, brm, z)
+            )
+            nxt2 = jnp.where(plane > nxt, plane, jnp.int32(sent)).min()
+            return nxt2, row, cnt + jnp.int32(1)
+
+        row0 = jnp.where(rowi == 0, jnp.int32(sent), z)
+        nxt, row, cnt = jax.lax.while_loop(
+            cond, body, (plane.min(), row0, jnp.int32(0))
+        )
+        # overflow: stopped by the K cap with keys still unvisited
+        ovf = jnp.where(nxt < jnp.int32(sent), jnp.int32(1), jnp.int32(0))
+        row = row + jnp.where((rowi == 3) & (lane == 0), ovf, z)
+        out_ref[pl.ds(ti, 1), :, :] = row
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(t), tile_body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("w_img", "sent"))
+def tile_component_tables_pallas(
+    keys_tiled: jnp.ndarray,
+    origins: jnp.ndarray,
+    *,
+    w_img: int,
+    sent: int,
+):
+    """keys_tiled [T, thp, twp] int32 (``sent`` on bg/pad, tile-padded to
+    (8, 128) multiples), origins [T, 2] int32 global (y, x) of each tile ->
+    [T, 8, 128] int32 tables: row 0 = component key (``sent`` on unused
+    lanes — the row is preset to ``sent`` and written lanes add key-sent),
+    row 1 = fragment pixel area, row 2 = fragment min block rank,
+    row 3 lane 0 = overflow flag. See _tile_tables_kernel."""
+    t, thp, twp = keys_tiled.shape
+    kernel = functools.partial(
+        _tile_tables_kernel, t=t, w_img=int(w_img), sent=int(sent)
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((t, 8, 128), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((thp, twp), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(keys_tiled, origins.astype(jnp.int32))
+
+
+def _tile_sum_tables_kernel(
+    keys_hbm, pay_hbm, out_ref, bufk, bufp, semk, semp,
+    *, t: int, sent: int,
+):
+    """Per-tile (key, signed payload sum) tables: like _tile_tables_kernel
+    but aggregating an int32 payload plane per distinct key (the Green's
+    contourArea contributions) instead of areas/block ranks.
+
+    Exactness: callers bound per-column |payload| sums below 2^24 (f32
+    column adds stay integral), and per-tile per-key totals below int31.
+    """
+
+    def tile_body(ti, carry):
+        cpk = pltpu.make_async_copy(keys_hbm.at[ti], bufk, semk)
+        cpp = pltpu.make_async_copy(pay_hbm.at[ti], bufp, semp)
+        cpk.start()
+        cpp.start()
+        cpk.wait()
+        cpp.wait()
+        plane = bufk[:, :]
+        pay = bufp[:, :]
+        thp = plane.shape[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+        z = jnp.zeros((1, 8, 128), jnp.int32)
+
+        def cond(c):
+            return (c[0] < jnp.int32(sent)) & (c[2] < jnp.int32(_TABLE_K))
+
+        def body(c):
+            nxt, row, cnt = c
+            m = plane == nxt
+            s = _sum_f32exact(jnp.where(m, pay, jnp.int32(0)), 1 << 23)
+            at = lane == cnt
+            row = (
+                row
+                + jnp.where((rowi == 0) & at, nxt - jnp.int32(sent), z)
+                + jnp.where((rowi == 1) & at, s, z)
+            )
+            nxt2 = jnp.where(plane > nxt, plane, jnp.int32(sent)).min()
+            return nxt2, row, cnt + jnp.int32(1)
+
+        row0 = jnp.where(rowi == 0, jnp.int32(sent), z)
+        nxt, row, cnt = jax.lax.while_loop(
+            cond, body, (plane.min(), row0, jnp.int32(0))
+        )
+        ovf = jnp.where(nxt < jnp.int32(sent), jnp.int32(1), jnp.int32(0))
+        row = row + jnp.where((rowi == 3) & (lane == 0), ovf, z)
+        out_ref[pl.ds(ti, 1), :, :] = row
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(t), tile_body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("sent",))
+def tile_sum_tables_pallas(
+    keys_tiled: jnp.ndarray, pay_tiled: jnp.ndarray, *, sent: int
+):
+    """keys_tiled/pay_tiled [T, thp, twp] int32 -> [T, 8, 128] tables:
+    row 0 = key (sent on unused lanes), row 1 = signed payload sum,
+    row 3 lane 0 = overflow flag."""
+    t, thp, twp = keys_tiled.shape
+    kernel = functools.partial(_tile_sum_tables_kernel, t=t, sent=int(sent))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((t, 8, 128), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((thp, twp), jnp.int32),
+            pltpu.VMEM((thp, twp), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(keys_tiled, pay_tiled)
+
+
+def _tile_paint_kernel(
+    keys_hbm, tbl_ref, out_hbm, bufk, bufo, semk, semo,
+    *, t: int, sent: int,
+):
+    """Per tile: out = union of (plane == key) over the tile's table rows
+    whose keep flag (table row 1) is set. The loop walks the tile's OWN
+    rows (while key < sent), so trips = that tile's distinct-key count."""
+
+    def tile_body(ti, carry):
+        cpk = pltpu.make_async_copy(keys_hbm.at[ti], bufk, semk)
+        cpk.start()
+        cpk.wait()
+        plane = bufk[:, :]
+        thp, twp = plane.shape
+        tbl = tbl_ref[pl.ds(ti, 1), :, :]  # [1, 8, 128]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+
+        def key_at(k):
+            return jnp.where(
+                (rowi == 0) & (lane == k), tbl, -_BIG
+            ).max()
+
+        def keep_at(k):
+            return jnp.where(
+                (rowi == 1) & (lane == k), tbl, -_BIG
+            ).max()
+
+        def cond(c):
+            return (c[0] < jnp.int32(sent)) & (c[1] < jnp.int32(128))
+
+        def body(c):
+            _, k, acc = c
+            key = key_at(k)
+            hit = (plane == key).astype(jnp.int32) * keep_at(k)
+            acc = jnp.maximum(acc, hit)
+            k2 = k + jnp.int32(1)
+            return key_at(k2), k2, acc
+
+        acc0 = jnp.zeros((thp, twp), jnp.int32)
+        _, _, acc = jax.lax.while_loop(
+            cond, body, (key_at(jnp.int32(0)), jnp.int32(0), acc0)
+        )
+        bufo[:, :] = acc.astype(jnp.uint8)
+        cpo = pltpu.make_async_copy(bufo, out_hbm.at[ti], semo)
+        cpo.start()
+        cpo.wait()
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(t), tile_body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("sent",))
+def tile_paint_pallas(
+    keys_tiled: jnp.ndarray, tables: jnp.ndarray, *, sent: int
+):
+    """keys_tiled [T, thp, twp] int32 + per-tile keep tables [T, 8, 128]
+    (row 0 = key ascending then sent padding, row 1 = 0/1 keep flag) ->
+    [T, thp, twp] uint8 membership masks."""
+    t, thp, twp = keys_tiled.shape
+    kernel = functools.partial(_tile_paint_kernel, t=t, sent=int(sent))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((t, thp, twp), jnp.uint8),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((thp, twp), jnp.int32),
+            pltpu.VMEM((thp, twp), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(keys_tiled, tables)

@@ -166,6 +166,10 @@ def _median_residual_kernel(
     rank = (k * k + 1) // 2
     G = chunk
     m = G * 256
+    # variant = mask scheme ("base" | "qdirect") with an optional trailing
+    # "2" selecting the 2-row-stepped loop (e.g. "qdirect2")
+    step2 = variant.endswith("2")
+    mask_variant = variant[:-1] if step2 else variant
     bins256 = jax.lax.broadcasted_iota(jnp.int32, (256, w), 0)
     tiles = tuple((c0, min(c0 + 128, w)) for c0 in range(0, w, 128))
     # One-hot generation alternatives measured and REJECTED on hardware
@@ -232,10 +236,10 @@ def _median_residual_kernel(
         for g in range(G):
             hist_ref[g * 256 : (g + 1) * 256, :] = hist0[g]
 
-        def row_body(y, c):
-            hist = hist_ref[:, :]
-            # Issue ALL window matmuls up front, then run the (independent)
-            # histogram update on the VPU while the MXU chews them.
+        def window_mms(hist):
+            """All column-tile window matmuls for one histogram state —
+            issued up front so the (independent) VPU work that follows can
+            overlap them on the MXU."""
             wins = []
             for c0, c1 in tiles:
                 s0 = max(0, c0 - r)
@@ -248,6 +252,11 @@ def _median_residual_kernel(
                         preferred_element_type=jnp.float32,
                     )
                 )  # [m, c1-c0] f32 window histograms, exact (counts <= 441)
+            return wins
+
+        def update_hist(y):
+            """hist(row y) -> hist(row y+1): add row y+r+1, drop row y-r."""
+            hist = hist_ref[:, :]
             vin = row_vals(y + r + 1)
             vout = row_vals(y - r)
             for g in range(G):
@@ -256,13 +265,17 @@ def _median_residual_kernel(
                     hist[sl, :] + onehot_bf16(vin[g]) - onehot_bf16(vout[g])
                 )
 
-            # query masks per block: E = bins - g, packed dual rank weights
-            # (packed field must hold counts up to k*k, <= 2025 for k <= 45,
-            # enforced by the wrapper; packed f32 sum < 2^23 stays exact)
+        def row_bytes(y, wins):
+            """Packed dual rank queries for row y against its window
+            matmuls: [G, w] uint8 result rows.
+
+            Masks per block: E = bins - g, packed dual rank weights (the
+            packed field must hold counts up to k*k, <= 2025 for k <= 45,
+            enforced by the wrapper; packed f32 sum < 2^23 stays exact)."""
             vg = row_vals(y)
             gmask = []
             for g in range(G):
-                if variant == "base":
+                if mask_variant == "base":
                     E = bins256 - vg[g]
                     gmask.append(
                         jnp.where(
@@ -303,14 +316,49 @@ def _median_residual_kernel(
             lo = jnp.bitwise_and(cc_, jnp.int32(2047))
             hi = jnp.right_shift(cc_, jnp.int32(11))
             bit = ((lo >= rank) | (hi < rank)).astype(jnp.int32)
-            byte = (bit * 255).astype(jnp.uint8)  # [G, w]
+            return (bit * 255).astype(jnp.uint8)  # [G, w]
+
+        def write_row(y, byte):
             for g in range(G):
                 out_ref[pl.ds(c0u + g, 1), pl.ds(y, 1), 0, :] = byte[
                     g : g + 1, :
                 ].reshape(1, 1, w)
-            return c
 
-        jax.lax.fori_loop(y_lo, y_hi, row_body, jnp.int32(0))
+        if not step2:
+
+            def row_body(y, c):
+                wins = window_mms(hist_ref[:, :])
+                update_hist(y)
+                write_row(y, row_bytes(y, wins))
+                return c
+
+            jax.lax.fori_loop(y_lo, y_hi, row_body, jnp.int32(0))
+        else:
+            # 2-row stepping: halves the sequential loop-trip count. Each
+            # iteration issues BOTH rows' window matmuls around one hist
+            # update, doubling the work Mosaic can overlap between the MXU
+            # (4 matmuls) and the VPU (2 one-hot updates + 2 rank queries).
+            # The final odd row's second-slot write is predicated off; its
+            # (discarded) query still reads clamped rows, which is safe.
+            def row_body2(t, c):
+                y = y_lo + t * jnp.int32(2)
+                wins0 = window_mms(hist_ref[:, :])
+                update_hist(y)
+                wins1 = window_mms(hist_ref[:, :])
+                update_hist(y + jnp.int32(1))
+                write_row(y, row_bytes(y, wins0))
+                byte1 = row_bytes(y + jnp.int32(1), wins1)
+
+                @pl.when(y + jnp.int32(1) < y_hi)
+                def _second():
+                    write_row(y + jnp.int32(1), byte1)
+
+                return c
+
+            trips = jnp.maximum(
+                jnp.int32(0), (y_hi - y_lo + jnp.int32(1)) // jnp.int32(2)
+            )
+            jax.lax.fori_loop(jnp.int32(0), trips, row_body2, jnp.int32(0))
         return carry
 
     jax.lax.fori_loop(
