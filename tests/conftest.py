@@ -23,6 +23,17 @@ import jax  # noqa: E402
 
 if os.environ.get("TPU_INSPECT_TEST_PLATFORM", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
+    # Isolate the CPU test runs' persistent compilation cache from the
+    # TPU sessions' cache: processes attached to the remote TPU service
+    # write XLA:CPU AOT entries compiled with the REMOTE host's machine
+    # features (+prefer-no-scatter etc.); loading those on this host can
+    # SIGILL/segfault (observed as a compile-time crash mid-suite).
+    # tpu_inspect reads this env var at import, which happens after
+    # conftest.
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/jax_tpu_inspect_cpu"),
+    )
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
