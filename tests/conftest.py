@@ -29,10 +29,11 @@ if os.environ.get("TPU_INSPECT_TEST_PLATFORM", "cpu") == "cpu":
     # features (+prefer-no-scatter etc.); loading those on this host can
     # SIGILL/segfault (observed as a compile-time crash mid-suite).
     # tpu_inspect reads this env var at import, which happens after
-    # conftest.
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser("~/.cache/jax_tpu_inspect_cpu"),
+    # conftest. Unconditional assignment: a pre-exported value typically
+    # points at the shared TPU-session cache — exactly the poisoned path
+    # this isolation exists to avoid.
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.expanduser(
+        "~/.cache/jax_tpu_inspect_cpu"
     )
 
 import numpy as np  # noqa: E402

@@ -453,6 +453,47 @@ def test_seg_tail_paired_interpret(interp):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
 
 
+def test_tail_paired_reach_gate(interp):
+    """Stages whose horizontal reach exceeds the 8-lane inter-unit gap must
+    NOT route to the paired kernel: each unit's erode/dilate window would
+    read across the gap into the other unit's pixels (round-4 advisor,
+    high). Valid configs hit this: erode_px (0-200) >= 9, morph_kernel
+    (0-31) >= 10."""
+    import types
+
+    from tpu_inspect.ops.morph_pallas import _close_open_stages
+
+    fp = interp["fp"]
+    n = 10
+    erode10 = (("erode", tuple((dy, -n, n) for dy in range(-n, n + 1))),)
+    assert fp._stages_reach(erode10) == 10
+    assert fp._stages_reach(_close_open_stages(21)) == 20  # minkowski 2*(k//2)
+    assert fp._stages_reach(_close_open_stages(3)) <= fp._PAIR_GAP
+    assert fp._stages_reach(()) == 0
+
+    fake_tpu = lambda: [types.SimpleNamespace(platform="tpu")]
+    with mock.patch.object(jax, "devices", fake_tpu):
+        shape = (4, 40, 44)
+        assert fp.tail_paired_fits(shape, _close_open_stages(3))
+        assert not fp.tail_paired_fits(shape, erode10)
+        assert not fp.tail_paired_fits(shape, _close_open_stages(10))
+
+    # the leak the gate prevents, demonstrated: unit A all-fg, unit B empty,
+    # one dilate with reach 10 > _PAIR_GAP — the paired kernel bleeds A's
+    # foreground across the gap into B's inner-edge columns
+    masks = np.zeros((2, 8, 16), np.uint8)
+    masks[0] = 255
+    leak_stage = (("dilate", ((0, -n, n),)),)
+    ref = fp.seg_tail_pallas(jnp.asarray(masks), stages=leak_stage)
+    got = fp.seg_tail_paired_pallas(jnp.asarray(masks), stages=leak_stage)
+    assert np.asarray(ref[0])[1].max() == 0  # unit B stays empty, unpaired
+    assert np.asarray(got[0])[1].max() > 0, (
+        "expected the cross-gap leak this gate exists for; if the paired "
+        "kernel now handles reach > _PAIR_GAP exactly, the gate (and this "
+        "canary) can be relaxed"
+    )
+
+
 def test_defect_narrow_window_interpret(interp, monkeypatch):
     """engine._defect_narrow_window (median + blob filter riding one shared
     ROI column window, lax.cond narrow vs full fallback) on the CPU backend:
@@ -495,6 +536,34 @@ def test_defect_narrow_window_interpret(interp, monkeypatch):
         got = np.asarray(out)
         for i in range(u):
             ref = oracle.detect_defects(crops[i], masks[i], params)
+            exp = ref if ref is not None else np.zeros((h, w), np.uint8)
+            np.testing.assert_array_equal(
+                got[i], exp, err_msg=f"{name} unit {i}"
+            )
+
+    # median_k=3 (r_h=1) right-margin boundary (round-4 advisor, medium):
+    # fits_all must leave >= 1 real background column between the ROI's
+    # right edge and the blob window's last column, else an ROI-edge
+    # candidate survives the 3x3 pre-open only in the narrow path (the
+    # out-of-window neighbor reads as the erode neutral 255, not the real
+    # zero). With W=24/WB=23: ROI span 22 must take the runtime fallback;
+    # span 21 rides the narrow window with exactly one margin column.
+    params3 = DefectParams(median_k=3, erode_px=2).validated()
+    for name, (c0, c1) in {
+        "k3-span22-fallback": (6, 32),  # ROI span (c1-c0)-4 = 22
+        "k3-span21-margin1": (6, 31),   # ROI span 21
+    }.items():
+        masks = np.zeros((u, h, w), np.uint8)
+        masks[:, 6 : h - 6, c0:c1] = 255
+        out, found, area, verdict = engine._defect_device(
+            jnp.asarray(crops), jnp.asarray(masks), params=params3
+        )
+        _, ref_areas, ref_verd = oracle.inspect_units(crops, masks, params3)
+        np.testing.assert_array_equal(np.asarray(area), ref_areas, err_msg=name)
+        np.testing.assert_array_equal(np.asarray(verdict), ref_verd, err_msg=name)
+        got = np.asarray(out)
+        for i in range(u):
+            ref = oracle.detect_defects(crops[i], masks[i], params3)
             exp = ref if ref is not None else np.zeros((h, w), np.uint8)
             np.testing.assert_array_equal(
                 got[i], exp, err_msg=f"{name} unit {i}"

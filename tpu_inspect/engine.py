@@ -529,7 +529,16 @@ def _defect_narrow_window(
     hi_all = jnp.max(col_hi).astype(jnp.int32)
     start_m = jnp.clip(lo_all - r_h, 0, w - W)
     start_b = jnp.clip(lo_all - r_h, 0, w - WB)
-    fits_all = (hi_all - lo_all) <= jnp.int32(W - 2 * r_h)
+    # span <= W - 2*r_h keeps the median halo inside the window; the extra
+    # <= WB - r_h - 1 bound (binding only at median_k=3) guarantees >= 1
+    # REAL background column between the ROI's right edge and the blob
+    # window's last column — the blob pre-open treats out-of-window as the
+    # erode neutral (255), so an ROI-edge candidate pixel must see its
+    # in-image zero neighbor inside the window to die exactly as it does in
+    # the full-width path
+    fits_all = (hi_all - lo_all) <= jnp.int32(
+        min(W - 2 * r_h, WB - r_h - 1)
+    )
 
     def narrow(c):
         sl = jax.lax.dynamic_slice(

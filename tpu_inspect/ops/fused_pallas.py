@@ -604,16 +604,35 @@ def seg_tail_paired_pallas(
     )
 
 
-def tail_paired_fits(shape) -> bool:
+def _stages_reach(stages) -> int:
+    """Max horizontal reach (lanes) any single stage reads past a pixel.
+
+    A stage's reads span [lo, hi] per SE row-run; the gap between the two
+    stacked units is reset to the stage's neutral before each stage, so the
+    pairing is exact iff every stage's reach is <= _PAIR_GAP (a wider reach
+    would read across the gap into the other unit's pixels)."""
+    reach = 0
+    for _op, runs in stages:
+        for _dy, lo, hi in runs:
+            reach = max(reach, -int(lo), int(hi))
+    return reach
+
+
+def tail_paired_fits(shape, stages=()) -> bool:
     """Gate for seg_tail_paired_pallas: TPU, int32-safe keys/sums on the
     stacked plane, fixpoint temporaries within scoped VMEM (the input is
-    DMA'd per pair, so only ~11 stacked int32 planes count)."""
+    DMA'd per pair, so only ~11 stacked int32 planes count), and every
+    morphology stage's horizontal reach within the inter-unit gap
+    (erode_px >= 9 or morph_kernel >= 10 exceed _PAIR_GAP=8 and must take
+    the unpaired kernel)."""
     from tpu_inspect.ops.common import fused_disabled
 
     if fused_disabled():
         return False
     u, h, w = shape
     if u < 2:
+        return False
+    if _stages_reach(stages) > _PAIR_GAP:
         return False
     ws = 2 * w + _PAIR_GAP
     hw = h * ws
@@ -642,7 +661,7 @@ def seg_tail_auto(
 ):
     """seg_tail_pallas, routed through the paired (2-unit lane-stacked)
     kernel when its gate holds. Same contract and bit-identical results."""
-    if tail_paired_fits(mask.shape):
+    if tail_paired_fits(mask.shape, stages):
         return seg_tail_paired_pallas(
             mask, stages=stages, fill=fill, out_largest=out_largest,
             plan=plan, thr=thr,
