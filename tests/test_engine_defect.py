@@ -81,4 +81,36 @@ def test_defect_on_random_noise_crops():
 def test_defect_canny_method_parity():
     crops, seg_masks = _fixture(n_units=4)
     _assert_defect_parity(crops, seg_masks, DefectParams(method="canny", threshold=24))
+    # threshold range ends (indexing_ui.py:872 slider 0-255): canny low/high
+    # become (max(1, t//2), max(2, t)) — 0 and 255 pin both clamps
     _assert_defect_parity(crops, seg_masks, DefectParams(method="canny", threshold=0))
+    _assert_defect_parity(crops, seg_masks, DefectParams(method="canny", threshold=255))
+
+
+def test_randomized_config_cross_product_fuzz():
+    """Seeded fuzz over the reference's config cross-product (SURVEY §4.2):
+    method x gaussian_blur x morph_kernel x adapt_block x defect method x
+    median_k x threshold x erode_px x min_area, engine vs oracle, exact."""
+    rng = np.random.RandomState(20260821)
+    crops = rng.randint(0, 256, (4, 48, 56), dtype=np.uint8)
+    for trial in range(10):
+        sp = SegmentationParams(
+            method=rng.choice(["otsu", "adaptive"]),
+            gaussian_blur=int(rng.randint(0, 32)),
+            morph_kernel=int(rng.randint(0, 32)),
+            adapt_block=int(rng.randint(3, 202)),
+            adapt_C=int(rng.randint(-20, 21)),
+        )
+        dp = DefectParams(
+            method=rng.choice(["threshold", "canny"]),
+            median_k=int(rng.choice([3, 5, 9, 21, 31])),
+            threshold=int(rng.randint(0, 256)),
+            erode_px=int(rng.randint(0, 14)),
+            min_area=int(rng.randint(0, 60)),
+        )
+        seg = engine.segment_units(crops, sp)
+        ref_masks, _, _ = oracle.segment_all_units(crops, sp)
+        np.testing.assert_array_equal(
+            seg.masks, ref_masks, err_msg=f"trial {trial}: {sp}"
+        )
+        _assert_defect_parity(crops, seg.masks, dp)

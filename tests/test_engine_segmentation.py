@@ -42,6 +42,18 @@ def test_random_crops_parity(method, gb, mk):
     _assert_pass_matches(crops, p, exclusions=EXCLS)
 
 
+@pytest.mark.parametrize("block", [3, 201])
+def test_adaptive_block_range_ends_parity(block):
+    """adapt_block's full reference range (indexing_ui.py:805 caps it at
+    201, min 3): block 201 exceeds the crop extent, so the mean window is
+    border-replicate-dominated — the regime the mid-range sweep misses."""
+    crops = np.random.RandomState(block).randint(
+        0, 256, (3, 64, 72), dtype=np.uint8
+    )
+    p = SegmentationParams(method="adaptive", adapt_block=block, adapt_C=7)
+    _assert_pass_matches(crops, p, exclusions=EXCLS)
+
+
 def test_mold_subset_parity_with_exclusions():
     grid = sample_grid_params()
     img = make_mold_image(grid, (3000, 4096), seed=21, defect_rate=0.5)
