@@ -90,6 +90,48 @@ def _claim_device_or_die(metric: str, timeout_s: float = 240.0):
     sys.exit(0)
 
 
+def _supervised(tag: str, metric: str, attempts=3, timeouts=(900, 600, 600)):
+    """Run ``bench.py <tag>-child`` in a subprocess with a deadline, retrying
+    on stall, and relay its final JSON line.
+
+    This environment's remote-compile service sometimes wedges a dispatch
+    RIGHT AFTER the main compile (main thread futex-parked in an RPC that
+    never completes — ~50% of config1defect runs in round 4). The stall is
+    per-process and unkillable from inside; a fresh process with the warm
+    persistent compilation cache almost always sails through in seconds.
+    The parent deliberately never imports jax (two live clients on the
+    development tunnel can hang each other), so the child owns the device
+    for its whole lifetime and a timeout kill fully releases it."""
+    import subprocess
+
+    last_err = "no attempts ran"
+    for i in range(attempts):
+        tmo = timeouts[min(i, len(timeouts) - 1)]
+        log(f"[supervisor] attempt {i + 1}/{attempts} (timeout {tmo}s)")
+        try:
+            p = subprocess.run(
+                [sys.executable, __file__, tag + "-child"],
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr,
+                timeout=tmo,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = (
+                f"attempt {i + 1} timed out after {tmo}s "
+                "(remote-compile/dispatch stall)"
+            )
+            log(f"[supervisor] {last_err}; retrying")
+            continue
+        lines = p.stdout.decode().strip().splitlines()
+        if p.returncode == 0 and lines:
+            for ln in lines:
+                print(ln)
+            return
+        last_err = f"attempt {i + 1} exited rc={p.returncode}"
+        log(f"[supervisor] {last_err}; retrying")
+    _emit(metric, None, 0.0, error=last_err)
+
+
 def main_config1(with_defects: bool = False):
     """BASELINE config 1: one whole-image 4096x3000 crop through the
     segmentation chain (strip-tiled flood kernel), `python bench.py config1`.
@@ -239,6 +281,68 @@ def main_stream():
         f"stream: {len(results)} frames, {wall_ms:.2f} ms/frame wall median "
         f"(min {min(frame_times):.2f}, max {max(frame_times):.2f}; "
         f"parity on frame 0: {parity})"
+    )
+
+    # Device-bound per-frame metric: the wall number above saturates on the
+    # development tunnel's ~38 MB/s upload floor (12.3 MB/frame), which the
+    # framework cannot improve. Here F distinct frames are made device-
+    # resident ONCE and the full per-frame inspection loop is chained on
+    # device cycling through them — exactly the stream loop's device work
+    # with the transfer wall removed, the number a co-located camera host
+    # would see and the one the config-5 history can track.
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_inspect.engine import _inspect_image_device
+
+    F, N = 4, 64
+    stack = jnp.asarray(np.stack([np.asarray(f) for f in frames[:F]]))
+    args_rest = (
+        jnp.asarray(wl["origins"]),
+        jnp.asarray(wl["rects"]),
+        jnp.asarray(wl["circles"]),
+        jnp.asarray(wl["ref_centroids"]),
+        jnp.asarray(wl["ref_valid"]),
+    )
+    kw = dict(
+        seg=seg,
+        defect=defect,
+        is_reference=True,
+        unit_hw=wl["unit_hw"],
+        with_defects=True,
+    )
+
+    def chained_frames(fr):
+        def body(i, carry):
+            fr_c, acc = carry
+            img = jax.lax.dynamic_index_in_dim(
+                fr_c, i % F, axis=0, keepdims=False
+            )
+            o = _inspect_image_device(img, *args_rest, **kw)
+            v, a = o[4][3], o[4][2]
+            bump = (a.sum(dtype=jnp.int32) & 1).astype(jnp.uint8)
+            return fr_c ^ bump, acc + v.sum(dtype=jnp.int32)
+
+        return jax.lax.fori_loop(0, N, body, (fr, jnp.int32(0)))[1]
+
+    fc = jax.jit(chained_frames)
+    t0 = time.perf_counter()
+    int(np.asarray(fc(stack)))
+    log(f"device chained-{N} (x{F} frames) compile+first: "
+        f"{time.perf_counter() - t0:.1f} s")
+    dev_times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        int(np.asarray(fc(stack)))
+        dev_times.append((time.perf_counter() - t0) * 1000.0 / N)
+    dev_ms = float(np.median(dev_times))
+    log(f"stream device: {dev_ms:.2f} ms/frame (chained x{N} over "
+        f"{F} resident frames, min {min(dev_times):.2f})")
+    _emit(
+        "stream_4096x3000_device_ms_per_frame",
+        dev_ms if parity else None,
+        cpu_ms,
+        samples=dev_times,
     )
     _emit(metric, wall_ms if parity else None, cpu_ms, samples=frame_times)
 
@@ -408,11 +512,16 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "config1":
+    arg = sys.argv[1] if len(sys.argv) > 1 else ""
+    if arg == "config1":
+        _supervised("config1", "single_unit_4096x3000_segmentation_ms")
+    elif arg == "config1-child":
         main_config1()
-    elif len(sys.argv) > 1 and sys.argv[1] == "config1defect":
+    elif arg == "config1defect":
+        _supervised("config1defect", "single_unit_4096x3000_seg_defect_ms")
+    elif arg == "config1defect-child":
         main_config1(with_defects=True)
-    elif len(sys.argv) > 1 and sys.argv[1] == "stream":
+    elif arg == "stream":
         main_stream()
     else:
         main()

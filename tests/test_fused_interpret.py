@@ -218,14 +218,19 @@ def test_median_residual_interpret(interp):
     mp = interp["mp"]
     rng = np.random.RandomState(1)
     x = rng.randint(0, 256, (5, 30, 40), dtype=np.uint8)
-    for k, thr in [(9, 24), (21, 0)]:
-        out = np.asarray(
-            mp.median_residual_mask_pallas(jnp.asarray(x), k, thr)
-        )
+    for k, thr in [(9, 24), (21, 0), (3, 255)]:
         med = np.stack([cv2.medianBlur(im, k) for im in x])
         resid = np.abs(x.astype(np.int32) - med.astype(np.int32))
         ref = np.where(resid > thr, 255, 0).astype(np.uint8)
-        np.testing.assert_array_equal(out, ref)
+        for variant in ("base", "qdirect", "cdfx", "cdfx2"):
+            out = np.asarray(
+                mp.median_residual_mask_pallas(
+                    jnp.asarray(x), k, thr, variant=variant
+                )
+            )
+            np.testing.assert_array_equal(
+                out, ref, err_msg=f"k={k} thr={thr} variant={variant}"
+            )
 
 
 def test_median_residual_tiled_interpret(interp):

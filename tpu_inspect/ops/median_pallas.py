@@ -166,10 +166,18 @@ def _median_residual_kernel(
     rank = (k * k + 1) // 2
     G = chunk
     m = G * 256
-    # variant = mask scheme ("base" | "qdirect") with an optional trailing
-    # "2" selecting the 2-row-stepped loop (e.g. "qdirect2")
+    # variant = mask scheme ("base" | "qdirect" | "cdfx") with an optional
+    # trailing "2" selecting the 2-row-stepped loop (e.g. "qdirect2").
+    # "cdfx": the histogram state holds CUMULATIVE counts along the value
+    # axis (C[v, c] = #window values <= v; per-row update is one >= compare
+    # instead of one == compare, same volume), the band matmul then yields
+    # the window cdf directly, and each rank query extracts cdf[t(c), c]
+    # per column by a 5-stage binary-select descent (128->8 sublanes) plus
+    # one 8-sublane masked reduce — ~1/3 the VPU volume of the packed
+    # mask-mul-reduce query (which touches [256, w] five times per row).
     step2 = variant.endswith("2")
     mask_variant = variant[:-1] if step2 else variant
+    cdfx = mask_variant == "cdfx"
     bins256 = jax.lax.broadcasted_iota(jnp.int32, (256, w), 0)
     tiles = tuple((c0, min(c0 + 128, w)) for c0 in range(0, w, 128))
     # One-hot generation alternatives measured and REJECTED on hardware
@@ -182,7 +190,11 @@ def _median_residual_kernel(
     #   verification error.
 
     def onehot_bf16(v):
-        """[1, w] i32 row -> [256, w] bf16 one-hot."""
+        """[1, w] i32 row -> [256, w] bf16 one-hot (cdfx: cumulative
+        indicator [val <= bin], so the state accumulates per-column cdfs;
+        counts stay <= k <= 45, bf16-exact either way)."""
+        if cdfx:
+            return (bins256 >= v).astype(jnp.bfloat16)
         return (v == bins256).astype(jnp.bfloat16)
     # NOTE on the reduce over each group's 256 value-sublanes: riding it on
     # the MXU as a block-ones matmul is a trap. The TPU MXU truncates f32
@@ -265,6 +277,56 @@ def _median_residual_kernel(
                     hist[sl, :] + onehot_bf16(vin[g]) - onehot_bf16(vout[g])
                 )
 
+        def cdf_extract(X, t):
+            """X [256, T] f32 (per-column cdf), t [1, T] i32 in [0, 255]
+            -> [1, T] f32 = X[t[c], c]: binary-select descent on the value
+            axis (each stage halves the rows via one broadcast select on
+            bit log2(size) of t; all slice offsets are vreg-aligned), then
+            the last 3 bits via an 8-sublane masked reduce."""
+            size = 128
+            while size >= 8:
+                b = jnp.bitwise_and(t, jnp.int32(size)) != 0
+                X = jnp.where(b, X[size:], X[:size])
+                size //= 2
+            i8 = jax.lax.broadcasted_iota(jnp.int32, X.shape, 0)
+            sel = (i8 == jnp.bitwise_and(t, jnp.int32(7))).astype(
+                jnp.float32
+            )
+            return (X * sel).sum(axis=0, keepdims=True)
+
+        def row_bytes_cdfx(y, wins):
+            """cdfx rank queries: the window matmul output is already the
+            per-column cdf, so each query is one extraction at the
+            per-column threshold (clamped; a negative lower threshold means
+            cdf = 0, patched after the extraction)."""
+            vg = row_vals(y)
+            rows = []
+            for g in range(G):
+                t1 = jnp.clip(vg[g] + jnp.int32(thr), 0, 255)
+                t2r = vg[g] - jnp.int32(thr + 1)
+                t2 = jnp.clip(t2r, 0, 255)
+                parts = []
+                for (c0, c1), win in zip(tiles, wins):
+                    X = win[g * 256 : (g + 1) * 256, :]
+                    lo = cdf_extract(X, t2[:, c0:c1])
+                    lo = jnp.where(
+                        t2r[:, c0:c1] < 0, jnp.float32(0.0), lo
+                    )
+                    hi = cdf_extract(X, t1[:, c0:c1])
+                    parts.append(
+                        (lo.astype(jnp.int32) >= rank)
+                        | (hi.astype(jnp.int32) < rank)
+                    )
+                rows.append(
+                    jnp.concatenate(parts, axis=1)
+                    if len(parts) > 1
+                    else parts[0]
+                )
+            bit = (
+                jnp.concatenate(rows, axis=0) if G > 1 else rows[0]
+            ).astype(jnp.int32)
+            return (bit * 255).astype(jnp.uint8)  # [G, w]
+
         def row_bytes(y, wins):
             """Packed dual rank queries for row y against its window
             matmuls: [G, w] uint8 result rows.
@@ -272,6 +334,8 @@ def _median_residual_kernel(
             Masks per block: E = bins - g, packed dual rank weights (the
             packed field must hold counts up to k*k, <= 2025 for k <= 45,
             enforced by the wrapper; packed f32 sum < 2^23 stays exact)."""
+            if cdfx:
+                return row_bytes_cdfx(y, wins)
             vg = row_vals(y)
             gmask = []
             for g in range(G):

@@ -57,7 +57,18 @@ def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
     exactly like the reference's ``continue``); strict ``sigma > max_sigma``
     keeps the first maximum. Uniform images yield threshold 0.
     """
-    hist = histogram_u8(x)  # [U, 256]
+    return otsu_threshold_from_hist(
+        histogram_u8(x), x.shape[-2] * x.shape[-1]
+    )
+
+
+def otsu_threshold_from_hist(hist: jnp.ndarray, n: int) -> jnp.ndarray:
+    """getThreshVal_Otsu_8u from a precomputed histogram.
+
+    ``hist``: [U, 256] int32 counts, ``n`` the pixel count each histogram
+    sums to. Split out of :func:`otsu_threshold` so distributed callers can
+    psum per-shard histograms and run the (replicated) recurrence on the
+    global counts (parallel/strips.py)."""
     u_real = hist.shape[0]
     if u_real < 8:
         # [1]-wide emulated-f64 steps lower to the scalar path and cost
@@ -69,7 +80,6 @@ def otsu_threshold(x: jnp.ndarray) -> jnp.ndarray:
             [hist, jnp.zeros((8 - u_real, 256), hist.dtype)], axis=0
         )
     u = hist.shape[0]
-    n = x.shape[-2] * x.shape[-1]
     scale = jnp.float64(1.0) / jnp.float64(n)
     bins = jnp.arange(256, dtype=jnp.float64)
     mu_raw = (hist.astype(jnp.float64) * bins[None, :]).sum(axis=1)

@@ -11,11 +11,19 @@ from tpu_inspect.parallel.mesh import (
     pad_units,
     unit_mesh,
 )
+from tpu_inspect.parallel.strips import (
+    defect_image_sharded,
+    segment_image_sharded,
+    strip_mesh,
+)
 
 __all__ = [
+    "defect_image_sharded",
     "image_unit_mesh",
     "inspect_image_batch_sharded",
     "inspect_units_sharded",
     "pad_units",
+    "segment_image_sharded",
+    "strip_mesh",
     "unit_mesh",
 ]
