@@ -544,12 +544,13 @@ def _defect_narrow_window(
         sl = jax.lax.dynamic_slice(
             c, (jnp.int32(0), jnp.int32(0), start_m), (u, h, W)
         )
-        # chunk=24 + qdirect rank-query masks: measured 3.24 -> 3.12 ms
-        # standalone over the round-2 chunk=8 base (tools/median_sweep.py;
-        # chunk=48 breaks the remote Mosaic compile)
+        # chunk=24 + cdfx rank queries (cumulative hist + binary-select
+        # cdf extraction): measured 2.85 ms standalone vs 3.13-3.27 for
+        # qdirect and 3.24 for the round-2 chunk=8 base
+        # (tools/median_sweep.py; chunk=48 breaks the remote Mosaic compile)
         cn = median_residual_mask_pallas(
             sl, k, thr, row_lo=row_lo, row_hi=row_hi, chunk=24,
-            variant="qdirect",
+            variant="cdfx",
         )
         # blob window sits at start_b >= start_m with start_b - start_m
         # in {0, 1} (w-WB vs w-W clip); both cover the ROI with margin

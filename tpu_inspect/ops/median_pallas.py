@@ -277,55 +277,70 @@ def _median_residual_kernel(
                     hist[sl, :] + onehot_bf16(vin[g]) - onehot_bf16(vout[g])
                 )
 
-        def cdf_extract(X, t):
-            """X [256, T] f32 (per-column cdf), t [1, T] i32 in [0, 255]
-            -> [1, T] f32 = X[t[c], c]: binary-select descent on the value
-            axis (each stage halves the rows via one broadcast select on
-            bit log2(size) of t; all slice offsets are vreg-aligned), then
-            the last 3 bits via an 8-sublane masked reduce."""
+        def cdf_extract(win, t):
+            """win [G*256, T] f32 (per-column window cdfs, G unit blocks),
+            t [G, T] i32 in [0, 255] -> [G, T] f32 = win[g*256 + t, c] for
+            every unit at once: binary-select descent on the value axis
+            (each stage halves the value rows of ALL blocks via one
+            broadcast select on bit log2(size) of t; slice offsets stay
+            vreg-aligned), then the last 3 bits via an 8-sublane masked
+            reduce. Batching the blocks through one [G, size, T] select
+            chain keeps the program ~G x smaller than per-unit unrolling
+            (which blew the Mosaic lowering recursion limit)."""
+            T = win.shape[1]
+            X = win.reshape(G, 256, T)
+            tt = t[:, None, :]  # [G, 1, T]
             size = 128
             while size >= 8:
-                b = jnp.bitwise_and(t, jnp.int32(size)) != 0
-                X = jnp.where(b, X[size:], X[:size])
+                b = jnp.bitwise_and(tt, jnp.int32(size)) != 0
+                X = jnp.where(b, X[:, size:, :], X[:, :size, :])
                 size //= 2
-            i8 = jax.lax.broadcasted_iota(jnp.int32, X.shape, 0)
-            sel = (i8 == jnp.bitwise_and(t, jnp.int32(7))).astype(
+            # last 3 bits: 8-sublane masked reduce (sub-vreg select stages
+            # measured slower than one masked tree sum)
+            i8 = jax.lax.broadcasted_iota(jnp.int32, X.shape, 1)
+            sel = (i8 == jnp.bitwise_and(tt, jnp.int32(7))).astype(
                 jnp.float32
             )
-            return (X * sel).sum(axis=0, keepdims=True)
+            return (X * sel).sum(axis=1)  # [G, T]
 
         def row_bytes_cdfx(y, wins):
             """cdfx rank queries: the window matmul output is already the
             per-column cdf, so each query is one extraction at the
             per-column threshold (clamped; a negative lower threshold means
             cdf = 0, patched after the extraction)."""
+            # Thresholds are built per unit on [1, w] vectors and stacked
+            # per tile by concatenating [1, T] slivers — the exact op
+            # pattern the qdirect combs use. Doing the clip/add arithmetic
+            # directly on stacked [G, w] planes sent this environment's
+            # Mosaic through invalid-relayout / lowering-recursion bugs
+            # ("(8,128) -> (32,128) replicated" on vector<24x256xi1>).
+            # explicit i32 bounds: under the package's global x64 flag a
+            # Python-int clip bound becomes a weak INT64 scalar, and
+            # Mosaic's scalar int64->int32 convert rule recurses forever
+            # (lesson 5 of PERF.md, now with a concrete crash signature)
+            z255 = jnp.int32(255)
+            z0 = jnp.int32(0)
             vg = row_vals(y)
-            rows = []
-            for g in range(G):
-                t1 = jnp.clip(vg[g] + jnp.int32(thr), 0, 255)
-                t2r = vg[g] - jnp.int32(thr + 1)
-                t2 = jnp.clip(t2r, 0, 255)
-                parts = []
-                for (c0, c1), win in zip(tiles, wins):
-                    X = win[g * 256 : (g + 1) * 256, :]
-                    lo = cdf_extract(X, t2[:, c0:c1])
-                    lo = jnp.where(
-                        t2r[:, c0:c1] < 0, jnp.float32(0.0), lo
-                    )
-                    hi = cdf_extract(X, t1[:, c0:c1])
-                    parts.append(
-                        (lo.astype(jnp.int32) >= rank)
-                        | (hi.astype(jnp.int32) < rank)
-                    )
-                rows.append(
-                    jnp.concatenate(parts, axis=1)
-                    if len(parts) > 1
-                    else parts[0]
-                )
+            t1g = [jnp.clip(v + jnp.int32(thr), z0, z255) for v in vg]
+            t2rg = [v - jnp.int32(thr + 1) for v in vg]
+            t2g = [jnp.clip(t, z0, z255) for t in t2rg]
+            rank_f = jnp.float32(rank)
+            parts = []
+            for (c0, c1), win in zip(tiles, wins):
+                def stack(vs):
+                    return jnp.concatenate(
+                        [v[:, c0:c1] for v in vs], axis=0
+                    )  # [G, T]
+
+                lo = cdf_extract(win, stack(t2g))
+                lo = jnp.where(stack(t2rg) < z0, jnp.float32(0.0), lo)
+                hi = cdf_extract(win, stack(t1g))
+                # counts <= k*k < 2^11 are f32-exact: compare in f32
+                parts.append((lo >= rank_f) | (hi < rank_f))
             bit = (
-                jnp.concatenate(rows, axis=0) if G > 1 else rows[0]
-            ).astype(jnp.int32)
-            return (bit * 255).astype(jnp.uint8)  # [G, w]
+                jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+            )
+            return (bit.astype(jnp.int32) * 255).astype(jnp.uint8)  # [G, w]
 
         def row_bytes(y, wins):
             """Packed dual rank queries for row y against its window
