@@ -475,7 +475,7 @@ def main():
     # overhead (~18-22 ms here); device time per pass is N-independent
     # (measured: x32 -> x64 -> x256 changes ms/image only by the
     # amortization delta, matching the fixed-dispatch model).
-    N = 256
+    N = 512
 
     def chained(img):
         def body(i, carry):

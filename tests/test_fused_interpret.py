@@ -499,6 +499,47 @@ def test_tail_paired_reach_gate(interp):
     )
 
 
+def test_blocked_paired_labeling_interpret(interp):
+    """The 2x2-block BBDT path of the paired tail vs the pixel-path kernel
+    on inputs crafted for its edge cases: components linked ONLY through
+    diagonal pixel pairs across block corners, dense random noise (many
+    components, area ties resolved by the 2x2-block-raster rank), odd
+    heights (half blocks), and fg on the lane-gap edges."""
+    fp = interp["fp"]
+    rng = np.random.RandomState(11)
+
+    cases = []
+    # dense noise: tie-breaks + many roots
+    cases.append((rng.rand(4, 21, 24) > 0.5, 1))
+    # diagonal chains: stair patterns connect only via block corners
+    stair = np.zeros((2, 20, 22), bool)
+    for t in range(9):
+        stair[0, 2 * t, 2 * t] = True
+        stair[0, 2 * t + 1, 2 * t + 1] = True
+        stair[1, 19 - 2 * t, 2 * t + 1] = True
+        stair[1, 18 - 2 * t, 2 * t + 2] = True
+    cases.append((stair, 2))
+    # sparse specks at block parity corners + edge columns
+    sp = rng.rand(3, 17, 26) > 0.9
+    sp[:, :, 0] = True
+    sp[:, :, 25] = True
+    cases.append((sp, 3))
+
+    for fg, seed in cases:
+        masks = (fg * 255).astype(np.uint8)
+        stages = ()
+        ref = fp.seg_tail_pallas(
+            jnp.asarray(masks), stages=stages, fill=False, out_largest=True
+        )
+        got = fp.seg_tail_paired_pallas(
+            jnp.asarray(masks), stages=stages, fill=False, out_largest=True
+        )
+        for i, (r, g) in enumerate(zip(ref, got)):
+            np.testing.assert_array_equal(
+                np.asarray(r), np.asarray(g), err_msg=f"case seed {seed} out {i}"
+            )
+
+
 def test_defect_narrow_window_interpret(interp, monkeypatch):
     """engine._defect_narrow_window (median + blob filter riding one shared
     ROI column window, lax.cond narrow vs full fallback) on the CPU backend:

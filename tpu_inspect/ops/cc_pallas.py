@@ -240,11 +240,20 @@ def _largest_stats(lab, w: int):
     def next_root(r):
         return jnp.where(rootf > r, rootf, _BIG).min()
 
+    # early exit: once the best area STRICTLY exceeds the unseen fg total,
+    # no remaining component can beat it — and none can tie it either (a
+    # tie would need area == remaining exactly, excluded by the strict
+    # compare), so the later-root-can-win-the-tie-break case cannot arise.
+    # Mold masks are one dominant blob + noise specks; the loop now stops
+    # right after the blob instead of enumerating every speck.
+    total = _sum_f32exact(fgm.astype(jnp.int32), hp)
+
     def cond(c):
-        return c[0] < _BIG
+        nxt, _b_root, b_area, _b_tie, seen = c
+        return (nxt < _BIG) & (b_area <= total - seen)
 
     def body(c):
-        nxt, b_root, b_area, b_tie = c
+        nxt, b_root, b_area, b_tie, seen = c
         member = lab == nxt
         # 0/1 plane: column sums <= hp, f32-exact
         area = _sum_f32exact(member.astype(jnp.int32), hp)
@@ -253,12 +262,12 @@ def _largest_stats(lab, w: int):
         b_root = jnp.where(better, nxt, b_root)
         b_area = jnp.where(better, area, b_area)
         b_tie = jnp.where(better, tie, b_tie)
-        return next_root(nxt), b_root, b_area, b_tie
+        return next_root(nxt), b_root, b_area, b_tie, seen + area
 
-    _, best_root, best_area, _ = jax.lax.while_loop(
+    _, best_root, best_area, _, _ = jax.lax.while_loop(
         cond,
         body,
-        (next_root(jnp.int32(-1)), _BIG, jnp.int32(0), _BIG),
+        (next_root(jnp.int32(-1)), _BIG, jnp.int32(0), _BIG, jnp.int32(0)),
     )
     bm = fgm & (lab == best_root)
     bmi = bm.astype(jnp.int32)

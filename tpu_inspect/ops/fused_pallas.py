@@ -31,6 +31,9 @@ from tpu_inspect.ops.cc_pallas import (
     _BIG,
     _label_fixpoint,
     _largest_stats,
+    _prefix_min,
+    _prefix_sum,
+    _shift2d,
 )
 from tpu_inspect.ops.flood_pallas import _local_fixpoint
 from tpu_inspect.ops.morph_pallas import _apply_stage
@@ -316,11 +319,23 @@ def _largest_stats_paired(lab, w: int, b0: int):
     def next_b(r):
         return jnp.where(rootf_b > r, rootf_b, _BIG).min()
 
+    # early exit per side: once the best area STRICTLY exceeds that unit's
+    # unseen fg total, no remaining component can beat OR tie it (a tie
+    # would need area == remaining exactly, excluded by the strict
+    # compare), so later-root tie-break wins cannot arise. The loop stops
+    # when BOTH units are decided — mold masks are one dominant blob plus
+    # noise specks, so this typically ends right after each blob.
+    total_a, total_b = _lane_tree_sums(fgm.astype(jnp.int32), ws, w, b0, lane1)
+
     def cond(c):
-        return jnp.minimum(c[0], c[1]) < _BIG
+        na, nb, best, seen_a, seen_b = c
+        _ra, aa, _ta, _rb, ab, _tb = best
+        live_a = (na < _BIG) & (aa <= total_a - seen_a)
+        live_b = (nb < _BIG) & (ab <= total_b - seen_b)
+        return live_a | live_b
 
     def body(c):
-        na, nb, best = c
+        na, nb, best, seen_a, seen_b = c
         ra, aa, ta, rb, ab, tb = best
         tgt = jnp.where(in_b, nb, na)
         member = fgm & (lab == tgt)
@@ -342,12 +357,16 @@ def _largest_stats_paired(lab, w: int, b0: int):
             jnp.where(bet_b, area_b, ab),
             jnp.where(bet_b, tie_b, tb),
         )
-        return next_a(na), next_b(nb), best
+        seen_a = seen_a + jnp.where(va, area_a, jnp.int32(0))
+        seen_b = seen_b + jnp.where(vb, area_b, jnp.int32(0))
+        return next_a(na), next_b(nb), best, seen_a, seen_b
 
     z = jnp.int32(0)
     init_best = (_BIG, z, _BIG, _BIG, z, _BIG)
-    _, _, best = jax.lax.while_loop(
-        cond, body, (next_a(jnp.int32(-1)), next_b(jnp.int32(-1)), init_best)
+    _, _, best, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (next_a(jnp.int32(-1)), next_b(jnp.int32(-1)), init_best, z, z),
     )
     root_a, area_a, _, root_b, area_b, _ = best
     tgt = jnp.where(in_b, root_b, root_a)
@@ -358,6 +377,265 @@ def _largest_stats_paired(lab, w: int, b0: int):
     sx_a, sx_b = _lane_tree_sums(bmi * xxl, ws, w, b0, lane1)
     sy_a, sy_b = _lane_tree_sums(bmi * yy, ws, w, b0, lane1)
 
+    h_i = jnp.int32(h)
+    w_i = jnp.int32(w)
+    rl = jnp.where(bm, yy, h_i)
+    rh = jnp.where(bm, yy + 1, z)
+    cl = jnp.where(bm, xxl, w_i)
+    ch = jnp.where(bm, xxl + 1, z)
+
+    def split_min(p, empty):
+        return (
+            jnp.where(in_a, p, empty).min(),
+            jnp.where(in_b, p, empty).min(),
+        )
+
+    def split_max(p, empty):
+        return (
+            jnp.where(in_a, p, empty).max(),
+            jnp.where(in_b, p, empty).max(),
+        )
+
+    rl_a, rl_b = split_min(rl, h_i)
+    rh_a, rh_b = split_max(rh, z)
+    cl_a, cl_b = split_min(cl, w_i)
+    ch_a, ch_b = split_max(ch, z)
+    return bmi, {
+        "a": (area_a, sx_a, sy_a, rl_a, rh_a, cl_a, ch_a),
+        "b": (area_b, sx_b, sy_b, rl_b, rh_b, cl_b, ch_b),
+    }
+
+
+def _blocked_largest_paired(m, h: int, ws: int, w: int, b0: int, plan: str):
+    """Label fixpoint + largest-component stats on the 2x2 BLOCK grid.
+
+    BBDT equivalence: for 8-connectivity, all fg pixels inside a 2x2 block
+    are mutually adjacent, so pixel components == components of the block
+    graph whose edges are derived from the blocks' sub-cell patterns. The
+    min-label fixpoint and the root-enumeration loop then run on the
+    [h/2, ws/2] block plane — 1/4 the vector volume of the pixel-level
+    sweeps that dominate the tail kernels (tools/tail_split.py: the
+    fixpoint+stats base is ~1.45 of the ~1.9 ms seg-tail wall).
+
+    Exactness: block sub-cell planes come from 0/1 bf16 MXU contractions
+    (Mosaic has no strided slicing), f32-accumulated — exact; run keys use
+    the same bias trick as the pixel sweeps (valid for any non-decreasing
+    per-direction run numbering); areas sum per-block popcounts (<= 4);
+    cv2's 2x2-block-raster tie-break is NATIVE here: its block grid IS
+    this grid, so the component tie value is min over member blocks of
+    block_rank*4 + first-present-subcell rank. The winner's pixel plane is
+    recovered by expanding the member-block mask through two more 0/1
+    matmuls and ANDing with the pixel mask; sx/sy/extents then reduce at
+    pixel level exactly as before.
+
+    Requires w even (odd w would misalign unit B's lane offset b0 = w +
+    _PAIR_GAP with the block grid); callers gate and fall back to the
+    pixel path. Returns (bmi [h, ws] int32, stats dict) exactly like
+    (_label_fixpoint + _largest_stats_paired).
+    """
+    assert w % 2 == 0 and ws % 2 == 0 and b0 % 2 == 0
+    hb = (h + 1) // 2
+    wsb = ws // 2
+    b0b = b0 // 2
+    wab = w // 2  # blocks per unit
+    bw2 = (w + 1) // 2  # cv2 block-raster row width (== wab for even w)
+    kb_pow = max(2, int(np.ceil(np.log2(hb * wsb + 2))))
+    assert (max(hb, wsb) + 1) * (1 << kb_pow) < 2**31
+    Kb = jnp.int32(1 << kb_pow)
+    bf = jnp.bfloat16
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    mf = m.astype(bf)
+    ih = jax.lax.broadcasted_iota(jnp.int32, (hb, h), 0)
+    jh = jax.lax.broadcasted_iota(jnp.int32, (hb, h), 1)
+    R0 = (jh == 2 * ih).astype(bf)
+    R1 = (jh == 2 * ih + 1).astype(bf)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (ws, wsb), 0)
+    jw = jax.lax.broadcasted_iota(jnp.int32, (ws, wsb), 1)
+    C0 = (iw == 2 * jw).astype(bf)
+    C1 = (iw == 2 * jw + 1).astype(bf)
+    T0 = mm(R0, mf).astype(bf)  # pixel rows 2i
+    T1 = mm(R1, mf).astype(bf)  # pixel rows 2i+1 (empty past h)
+    zf = jnp.float32(0.0)
+    zi = jnp.int32(0)
+    # sub-cell and adjacency planes live as 0/1 INT32: Mosaic crashes
+    # relayouting shifted i1 vectors at this plane size (the "(8,128) ->
+    # (32,128) replicated" class), so bools are materialized only as
+    # unshifted compare masks at their point of use
+    m00 = (mm(T0, C0) > zf).astype(jnp.int32)
+    m01 = (mm(T0, C1) > zf).astype(jnp.int32)
+    m10 = (mm(T1, C0) > zf).astype(jnp.int32)
+    m11 = (mm(T1, C1) > zf).astype(jnp.int32)
+    fg_i = m00 | m01 | m10 | m11
+    fg_b = fg_i > zi
+    cnt = m00 + m01 + m10 + m11
+
+    # block adjacency from sub-cell patterns (every cross-boundary pixel
+    # pair between these cells is 8-adjacent)
+    right = m01 | m11
+    left = m00 | m10
+    bot = m10 | m11
+    top = m00 | m01
+    conn_e = right & _shift2d(left, 0, 1, zi)
+    conn_s = bot & _shift2d(top, 1, 0, zi)
+    conn_se = m11 & _shift2d(m00, 1, 1, zi)
+    conn_sw = m10 & _shift2d(m01, 1, -1, zi)
+
+    yyb = jax.lax.broadcasted_iota(jnp.int32, (hb, wsb), 0)
+    xxb = jax.lax.broadcasted_iota(jnp.int32, (hb, wsb), 1)
+    init = jnp.where(fg_b, yyb * wsb + xxb, _BIG)
+
+    one = jnp.int32(1)
+    brk_w = one - (fg_i & _shift2d(conn_e, 0, -1, zi))
+    brk_e = one - (fg_i & conn_e)
+    brk_n = one - (fg_i & _shift2d(conn_s, -1, 0, zi))
+    brk_s = one - (fg_i & conn_s)
+    row_fwd = _prefix_sum(brk_w, 1, False) * Kb
+    row_bwd = _prefix_sum(brk_e, 1, True) * Kb
+    col_fwd = _prefix_sum(brk_n, 0, False) * Kb
+    col_bwd = _prefix_sum(brk_s, 0, True) * Kb
+
+    def seg_sweep(lab, axis, kf, kb_):
+        v = jnp.where(fg_b, lab, Kb - 1)
+        f = _prefix_min(v - kf, axis, False) + kf
+        b = _prefix_min(v - kb_, axis, True) + kb_
+        return jnp.where(fg_b, jnp.minimum(lab, jnp.minimum(f, b)), lab)
+
+    cw = _shift2d(conn_e, 0, -1, zi)
+    cn = _shift2d(conn_s, -1, 0, zi)
+    cnw = _shift2d(conn_se, -1, -1, zi)
+    cne = _shift2d(conn_sw, -1, 1, zi)
+
+    def min8(lab):
+        def nb(cmask, dy, dx):
+            return jnp.where(cmask > zi, _shift2d(lab, dy, dx, _BIG), _BIG)
+
+        out = jnp.minimum(lab, nb(conn_e, 0, 1))
+        out = jnp.minimum(out, nb(cw, 0, -1))
+        out = jnp.minimum(out, nb(conn_s, 1, 0))
+        out = jnp.minimum(out, nb(cn, -1, 0))
+        out = jnp.minimum(out, nb(conn_se, 1, 1))
+        out = jnp.minimum(out, nb(cnw, -1, -1))
+        out = jnp.minimum(out, nb(conn_sw, 1, -1))
+        out = jnp.minimum(out, nb(cne, -1, 1))
+        return jnp.where(fg_b, out, _BIG)
+
+    def fix_cond(lab):
+        return (min8(lab) != lab).astype(jnp.int32).max() > 0
+
+    def fix_body(lab):
+        new = min8(lab)
+        for ax in plan:
+            if ax == "r":
+                new = seg_sweep(new, 1, row_fwd, row_bwd)
+            else:
+                new = seg_sweep(new, 0, col_fwd, col_bwd)
+        return new
+
+    lab = jax.lax.while_loop(fix_cond, fix_body, fix_body(init))
+
+    # ---- largest-component enumeration on the block plane ----
+    in_b_blk = xxb >= b0b
+    in_a_blk = xxb < wab
+    xxbl = jnp.where(in_b_blk, xxb - b0b, xxb)
+    lane1b = jax.lax.broadcasted_iota(jnp.int32, (1, wsb), 1)
+    lin_b = yyb * wsb + xxb
+    root_all = jnp.where(fg_b & (lab == lin_b), lin_b, _BIG)
+    rootf_a = jnp.where(in_a_blk, root_all, _BIG)
+    rootf_b = jnp.where(in_b_blk, root_all, _BIG)
+    intra = jnp.where(
+        m00 > zi,
+        jnp.int32(0),
+        jnp.where(
+            m01 > zi,
+            jnp.int32(1),
+            jnp.where(m10 > zi, jnp.int32(2), jnp.int32(3)),
+        ),
+    )
+    br = (yyb * bw2 + xxbl) * 4 + intra
+
+    def next_a(r):
+        return jnp.where(rootf_a > r, rootf_a, _BIG).min()
+
+    def next_b(r):
+        return jnp.where(rootf_b > r, rootf_b, _BIG).min()
+
+    total_a, total_b = _lane_tree_sums(
+        jnp.where(fg_b, cnt, jnp.int32(0)), wsb, wab, b0b, lane1b
+    )
+
+    def cond(c):
+        na, nb_, best, seen_a, seen_b = c
+        _ra, aa, _ta, _rb, ab, _tb = best
+        live_a = (na < _BIG) & (aa <= total_a - seen_a)
+        live_b = (nb_ < _BIG) & (ab <= total_b - seen_b)
+        return live_a | live_b
+
+    def body(c):
+        na, nb_, best, seen_a, seen_b = c
+        ra, aa, ta, rb, ab, tb = best
+        tgt = jnp.where(in_b_blk, nb_, na)
+        member = fg_b & (lab == tgt)
+        mi = jnp.where(member, cnt, jnp.int32(0))
+        area_a, area_b = _lane_tree_sums(mi, wsb, wab, b0b, lane1b)
+        tie = jnp.where(member, br, _BIG)
+        tie_a = jnp.where(in_a_blk, tie, _BIG).min()
+        tie_b = jnp.where(in_b_blk, tie, _BIG).min()
+        va = na < _BIG
+        vb = nb_ < _BIG
+        bet_a = va & ((area_a > aa) | ((area_a == aa) & (tie_a < ta)))
+        bet_b = vb & ((area_b > ab) | ((area_b == ab) & (tie_b < tb)))
+        best = (
+            jnp.where(bet_a, na, ra),
+            jnp.where(bet_a, area_a, aa),
+            jnp.where(bet_a, tie_a, ta),
+            jnp.where(bet_b, nb_, rb),
+            jnp.where(bet_b, area_b, ab),
+            jnp.where(bet_b, tie_b, tb),
+        )
+        seen_a = seen_a + jnp.where(va, area_a, jnp.int32(0))
+        seen_b = seen_b + jnp.where(vb, area_b, jnp.int32(0))
+        return next_a(na), next_b(nb_), best, seen_a, seen_b
+
+    z = jnp.int32(0)
+    init_best = (_BIG, z, _BIG, _BIG, z, _BIG)
+    _, _, best, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (next_a(jnp.int32(-1)), next_b(jnp.int32(-1)), init_best, z, z),
+    )
+    root_a, area_a, _, root_b, area_b, _ = best
+
+    # expand the winning block mask back to pixels (two 0/1 matmuls) and
+    # finish the pixel-level stats exactly as the pixel path does
+    tgt = jnp.where(in_b_blk, root_b, root_a)
+    member_blk = fg_b & (lab == tgt)
+    yhp = jax.lax.broadcasted_iota(jnp.int32, (h, hb), 0)
+    ihp = jax.lax.broadcasted_iota(jnp.int32, (h, hb), 1)
+    # >> 1, not // 2: floor_divide's scalar constant traces as weak int64
+    # under the global x64 flag and Mosaic's int64->int32 scalar convert
+    # lowering recurses forever
+    ER = (ihp == (yhp >> 1)).astype(bf)
+    jwp = jax.lax.broadcasted_iota(jnp.int32, (wsb, ws), 0)
+    xwp = jax.lax.broadcasted_iota(jnp.int32, (wsb, ws), 1)
+    EC = (jwp == (xwp >> 1)).astype(bf)
+    mx = mm(mm(ER, member_blk.astype(bf)).astype(bf), EC) > zf
+    bm = m & mx
+    bmi = bm.astype(jnp.int32)
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, ws), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, ws), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, ws), 1)
+    in_b = xx >= b0
+    in_a = xx < w
+    xxl = jnp.where(in_b, xx - b0, xx)
+    sx_a, sx_b = _lane_tree_sums(bmi * xxl, ws, w, b0, lane1)
+    sy_a, sy_b = _lane_tree_sums(bmi * yy, ws, w, b0, lane1)
     h_i = jnp.int32(h)
     w_i = jnp.int32(w)
     rl = jnp.where(bm, yy, h_i)
@@ -452,8 +730,13 @@ def _tail_paired_body(
             ext = _local_fixpoint(dom, border & dom, conn8=False) > 0
             m = m | ~ext
 
-        lab = _label_fixpoint(m, h, ws, k_pow, plan)
-        bmi, st = _largest_stats_paired(lab, w, b0)
+        if w % 2 == 0:
+            # 2x2-block BBDT labeling: 1/4 the sweep volume (see
+            # _blocked_largest_paired); odd widths keep the pixel path
+            bmi, st = _blocked_largest_paired(m, h, ws, w, b0, plan)
+        else:
+            lab = _label_fixpoint(m, h, ws, k_pow, plan)
+            bmi, st = _largest_stats_paired(lab, w, b0)
 
         lane16 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
         z = jnp.zeros((1, 8, 128), jnp.int32)
