@@ -540,6 +540,56 @@ def test_blocked_paired_labeling_interpret(interp):
             )
 
 
+def test_seg_roi_chained_interpret(interp):
+    """The chained seg+zone+roi kernel must reproduce the split pipeline:
+    seg_tail (thr + close/open + fill, PRE-exclusion stats) -> XLA zone
+    AND -> roi_tail (erode + largest + extents), for with/without zone,
+    erode_px 0 and >0, odd unit counts."""
+    from tpu_inspect.ops import threshold
+    from tpu_inspect.ops.gaussian import gaussian_blur_u8
+    from tpu_inspect.ops.morph_pallas import _close_open_stages
+
+    fp = interp["fp"]
+    rng = np.random.RandomState(7)
+    u, h, w = 5, 40, 44
+    crops = rng.randint(0, 256, (u, h, w), dtype=np.uint8)
+    x = gaussian_blur_u8(jnp.asarray(crops), 3)
+    thr = threshold.otsu_threshold(x)
+    stages = _close_open_stages(3)
+    zone_np = np.zeros((h, w), np.uint8)
+    zone_np[8:20, 10:30] = 1
+
+    for n_ero, zone in [(2, zone_np), (0, zone_np), (2, None)]:
+        roi_stages = (
+            (("erode", tuple((dy, -n_ero, n_ero)
+                             for dy in range(-n_ero, n_ero + 1))),)
+            if n_ero else ()
+        )
+        # split reference: seg tail -> zone -> roi tail
+        smask, sarea, ssx, ssy, shas, *_ = fp.seg_tail_pallas(
+            x, stages=stages, fill=True, thr=thr
+        )
+        post = np.asarray(smask)
+        if zone is not None:
+            post = np.where(zone[None] > 0, 0, post).astype(np.uint8)
+        rmask, rarea, _, _, rhas, rl, rh, cl, ch = fp.seg_tail_pallas(
+            jnp.asarray(post), stages=roi_stages, fill=False,
+            out_largest=True,
+        )
+        got = fp.seg_roi_tail_paired_pallas(
+            x, stages, roi_stages, thr,
+            zone=None if zone is None else jnp.asarray(zone),
+            use_zone=zone is not None,
+        )
+        refs = (post, sarea, ssx, ssy, shas,
+                rmask, rarea, rhas, rl, rh, cl, ch)
+        for i, (r, g) in enumerate(zip(refs, got)):
+            np.testing.assert_array_equal(
+                np.asarray(r), np.asarray(g),
+                err_msg=f"erode={n_ero} zone={zone is not None} out {i}",
+            )
+
+
 def test_defect_narrow_window_interpret(interp, monkeypatch):
     """engine._defect_narrow_window (median + blob filter riding one shared
     ROI column window, lax.cond narrow vs full fallback) on the CPU backend:

@@ -583,11 +583,17 @@ def _defect_narrow_window(
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def _defect_device(crops, seg_masks, *, params: DefectParams):
-    u, h, w = crops.shape
     with jax.named_scope("defect_roi"):
-        roi, roi_empty, roi_area, row_lo, row_hi, col_lo, col_hi = (
-            _defect_roi_full(seg_masks, int(params.erode_px))
-        )
+        roi_pack = _defect_roi_full(seg_masks, int(params.erode_px))
+    return _defect_from_roi(crops, roi_pack, params=params)
+
+
+def _defect_from_roi(crops, roi_pack, *, params: DefectParams):
+    """Defect pass given a precomputed ROI pack (the _defect_roi_full
+    tuple) — split out so the chained seg+roi kernel's outputs feed the
+    same body (indexing_ui.py:1519-1572)."""
+    u, h, w = crops.shape
+    roi, roi_empty, roi_area, row_lo, row_hi, col_lo, col_hi = roi_pack
 
     # area filter (indexing_ui.py:1542-1558): Python int() truncation of
     # roi_area * 0.98 computed in double; comparisons run on exact 2x-areas
@@ -757,6 +763,75 @@ def inspect_units(
 # ---------------------------------------------------------------------------
 
 
+def _roi_erode_stages(erode_px: int):
+    n = int(erode_px)
+    if n <= 0:
+        return ()
+    return (("erode", tuple((dy, -n, n) for dy in range(-n, n + 1))),)
+
+
+def _segment_roi_device(
+    crops, rects, circles, *, seg: SegmentationParams, erode_px: int,
+    shape_hw,
+):
+    """Reference-image segmentation + defect-ROI prep CHAINED in one paired
+    kernel (ops/fused_pallas.seg_roi_tail_paired_pallas): the seg->roi
+    intermediate stays in VMEM, the shared exclusion zone applies in-kernel,
+    and one input DMA serves both stages. Caller gates (otsu method,
+    is_reference, seg_roi_paired_fits). Returns the _segment_device tuple
+    plus the _defect_roi_full pack."""
+    from tpu_inspect.ops.fused_pallas import seg_roi_tail_paired_pallas
+    from tpu_inspect.ops.morph_pallas import _close_open_stages
+
+    u = crops.shape[0]
+    k = _morph_k(seg)
+    stages = _close_open_stages(k) if k > 1 else ()
+    x = crops
+    if seg.gaussian_blur and seg.gaussian_blur > 0:
+        with jax.named_scope("gauss"):
+            x = gaussian_blur_u8(x, as_odd(seg.gaussian_blur))
+    with jax.named_scope("otsu"):
+        thr_v = threshold.otsu_threshold(x)
+    has_excl = bool(rects.shape[0] or circles.shape[0])
+    zone = None
+    if has_excl:
+        z1 = jnp.zeros((1,), jnp.int32)
+        zone = exclusion_zone(shape_hw, rects, circles, z1, z1)[0]
+    with jax.named_scope("seg_roi_tail"):
+        (
+            mask, area, sx, sy, has_fg,
+            roi_u8, roi_area, roi_has, rl, rh, cl, ch,
+        ) = seg_roi_tail_paired_pallas(
+            x, stages, _roi_erode_stages(erode_px), thr_v,
+            zone=zone, use_zone=has_excl,
+        )
+    dxy = jnp.zeros((u, 2), dtype=jnp.int32)
+    sums = jnp.stack(
+        [
+            sx.astype(jnp.int64),
+            sy.astype(jnp.int64),
+            area.astype(jnp.int64),
+        ],
+        axis=-1,
+    )
+    roi_pack = (roi_u8 > 0, ~roi_has, roi_area, rl, rh, cl, ch)
+    return (mask, sums, has_fg, dxy), roi_pack
+
+
+def _seg_roi_chain_fits(crops_shape, seg: SegmentationParams,
+                        erode_px: int) -> bool:
+    from tpu_inspect.ops.fused_pallas import seg_roi_paired_fits
+    from tpu_inspect.ops.morph_pallas import _close_open_stages
+
+    if seg.method == "adaptive":
+        return False  # the chained kernel fuses the otsu threshold compare
+    k = _morph_k(seg)
+    stages = _close_open_stages(k) if k > 1 else ()
+    return seg_roi_paired_fits(
+        crops_shape, stages, _roi_erode_stages(erode_px)
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("seg", "defect", "is_reference", "unit_hw", "with_defects"),
@@ -783,6 +858,17 @@ def _inspect_image_device(
     crops = jax.lax.optimization_barrier(
         gather_crops(image, origins, unit_hw=unit_hw)
     )
+    if (
+        with_defects
+        and is_reference
+        and _seg_roi_chain_fits(crops.shape, seg, int(defect.erode_px))
+    ):
+        seg_out, roi_pack = _segment_roi_device(
+            crops, rects, circles, seg=seg,
+            erode_px=int(defect.erode_px), shape_hw=unit_hw,
+        )
+        defect_out = _defect_from_roi(crops, roi_pack, params=defect)
+        return seg_out + (defect_out,)
     seg_out = _segment_device(
         crops,
         rects,

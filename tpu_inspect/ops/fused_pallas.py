@@ -665,6 +665,74 @@ def _blocked_largest_paired(m, h: int, ws: int, w: int, b0: int, plan: str):
     }
 
 
+def _paired_morph(v, stages, gap_zone):
+    """Apply morphology ``stages`` to the stacked i32 plane (gap preset to
+    each stage's neutral so units see out-of-image border semantics)."""
+    for op, runs in stages:
+        red = jnp.minimum if op == "erode" else jnp.maximum
+        fl = np.int32(255) if op == "erode" else np.int32(0)
+        v = jnp.where(gap_zone, jnp.int32(fl), v)
+        v = _apply_stage(v, op, runs, red, fl)
+    if stages:
+        v = jnp.where(gap_zone, jnp.int32(0), v)
+    return v
+
+
+def _paired_fill(m, h, ws, lane):
+    """Border-seeded hole fill on the stacked plane (the all-background gap
+    reaches the top border, so each unit's inner-edge background is
+    border-seeded exactly as its own column border would be)."""
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, ws), 0)
+    border = (yy == 0) | (yy == h - 1) | (lane == 0) | (lane == ws - 1)
+    dom = ~m
+    ext = _local_fixpoint(dom, border & dom, conn8=False) > 0
+    return m | ~ext
+
+
+def _paired_largest(m, h, ws, w, b0, k_pow, plan):
+    if w % 2 == 0:
+        # 2x2-block BBDT labeling: 1/4 the sweep volume (see
+        # _blocked_largest_paired); odd widths keep the pixel path
+        return _blocked_largest_paired(m, h, ws, w, b0, plan)
+    lab = _label_fixpoint(m, h, ws, k_pow, plan)
+    return _largest_stats_paired(lab, w, b0)
+
+
+def _paired_stats_row(st):
+    """Pack both units' stats into one [1, 8, 128] lane row (A lanes 0-7,
+    B lanes 8-15)."""
+    lane16 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+    z = jnp.zeros((1, 8, 128), jnp.int32)
+    row = z
+    for base, key in ((0, "a"), (8, "b")):
+        area, sx, sy, rl, rh, cl, ch = st[key]
+        has_i = jnp.where(area > 0, jnp.int32(1), jnp.int32(0))
+        for off, val in (
+            (0, area), (1, sx), (2, sy), (3, has_i),
+            (4, rl), (5, rh), (6, cl), (7, ch),
+        ):
+            row = row + jnp.where(lane16 == base + off, val, z)
+    return row
+
+
+def _paired_emit(plane_i32, buf, out_hbm, pi, sem, h, ws):
+    """Zero-pad an i32 0/255 plane into ``buf`` and DMA it out."""
+    hp, wsp = buf.shape
+    out = plane_i32
+    if hp > h:
+        out = jnp.concatenate(
+            [out, jnp.zeros((hp - h, ws), jnp.int32)], axis=0
+        )
+    if wsp > ws:
+        out = jnp.concatenate(
+            [out, jnp.zeros((hp, wsp - ws), jnp.int32)], axis=1
+        )
+    buf[:, :] = out.astype(jnp.uint8)
+    cp = pltpu.make_async_copy(buf, out_hbm.at[pi], sem)
+    cp.start()
+    cp.wait()
+
+
 def _tail_paired_body(
     x_hbm,
     thr_ref,
@@ -685,7 +753,6 @@ def _tail_paired_body(
     out_largest: bool,
     plan: str,
 ):
-    hp, wsp = buf.shape
     b0 = w + _PAIR_GAP
     lane = jax.lax.broadcasted_iota(jnp.int32, (h, ws), 1)
     gap_zone = (lane >= w) & (lane < b0)
@@ -707,63 +774,95 @@ def _tail_paired_body(
             v = jnp.where(raw <= tvec, jnp.int32(255), jnp.int32(0))
         else:
             v = jnp.where(raw > 0, jnp.int32(255), jnp.int32(0))
-        for op, runs in stages:
-            red = jnp.minimum if op == "erode" else jnp.maximum
-            fl = np.int32(255) if op == "erode" else np.int32(0)
-            # preset the gap to the stage's neutral: each unit's reads past
-            # its inner edge then see exactly OpenCV's out-of-image border
-            # value (the gap is wider than any stage's horizontal reach)
-            v = jnp.where(gap_zone, jnp.int32(fl), v)
-            v = _apply_stage(v, op, runs, red, fl)
-        if stages:
-            v = jnp.where(gap_zone, jnp.int32(0), v)
+        v = _paired_morph(v, stages, gap_zone)
         m = v > 0
         if fill:
-            yy = jax.lax.broadcasted_iota(jnp.int32, (h, ws), 0)
-            border = (
-                (yy == 0) | (yy == h - 1) | (lane == 0) | (lane == ws - 1)
-            )
-            dom = ~m
-            # the all-background gap reaches the top border, so each unit's
-            # inner-edge background is border-seeded exactly as its own
-            # column border would be in the per-unit plane
-            ext = _local_fixpoint(dom, border & dom, conn8=False) > 0
-            m = m | ~ext
+            m = _paired_fill(m, h, ws, lane)
 
-        if w % 2 == 0:
-            # 2x2-block BBDT labeling: 1/4 the sweep volume (see
-            # _blocked_largest_paired); odd widths keep the pixel path
-            bmi, st = _blocked_largest_paired(m, h, ws, w, b0, plan)
-        else:
-            lab = _label_fixpoint(m, h, ws, k_pow, plan)
-            bmi, st = _largest_stats_paired(lab, w, b0)
-
-        lane16 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
-        z = jnp.zeros((1, 8, 128), jnp.int32)
-        row = z
-        for base, key in ((0, "a"), (8, "b")):
-            area, sx, sy, rl, rh, cl, ch = st[key]
-            has_i = jnp.where(area > 0, jnp.int32(1), jnp.int32(0))
-            for off, val in (
-                (0, area), (1, sx), (2, sy), (3, has_i),
-                (4, rl), (5, rh), (6, cl), (7, ch),
-            ):
-                row = row + jnp.where(lane16 == base + off, val, z)
-        stats_out[pl.ds(pi, 1), :, :] = row
-
+        bmi, st = _paired_largest(m, h, ws, w, b0, k_pow, plan)
+        stats_out[pl.ds(pi, 1), :, :] = _paired_stats_row(st)
         out = bmi * 255 if out_largest else m.astype(jnp.int32) * 255
-        if hp > h:
-            out = jnp.concatenate(
-                [out, jnp.zeros((hp - h, ws), jnp.int32)], axis=0
-            )
-        if wsp > ws:
-            out = jnp.concatenate(
-                [out, jnp.zeros((hp, wsp - ws), jnp.int32)], axis=1
-            )
-        buf[:, :] = out.astype(jnp.uint8)
-        cp = pltpu.make_async_copy(buf, mask_out.at[pi], sem_out)
-        cp.start()
-        cp.wait()
+        _paired_emit(out, buf, mask_out, pi, sem_out, h, ws)
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(p), pair_body, jnp.int32(0))
+
+
+def _seg_roi_paired_body(
+    x_hbm,
+    thr_ref,
+    zone_ref,
+    mask_out,
+    stats_out,
+    roi_out,
+    stats2_out,
+    in_buf,
+    buf,
+    buf2,
+    sem_in,
+    sem_out,
+    sem_out2,
+    *,
+    p: int,
+    h: int,
+    w: int,
+    ws: int,
+    k_pow: int,
+    stages,
+    roi_stages,
+    plan: str,
+    use_zone: bool,
+):
+    """Chained segmentation tail + exclusion AND + defect-ROI tail: one
+    input DMA serves BOTH stages, the exclusion zone applies in VMEM, and
+    the seg->roi intermediate never round-trips HBM (the split form pays a
+    [U, H, W] write + re-stack + read between the two kernels plus a
+    whole-batch XLA masking pass for the zone).
+
+    ``zone_ref``: the stacked [hp, wsp] uint8 exclusion plane, shared by
+    every unit (reference-image semantics: dx = dy = 0 for all units, so
+    the rasterized zone is unit-invariant — engine.py). The seg stats are
+    computed BEFORE the zone is applied (alignment anchors are
+    pre-exclusion, indexing_ui.py:2282-2289); the emitted seg mask and the
+    roi chain see the post-zone plane (indexing_ui.py:2291-2338, :1495).
+    """
+    b0 = w + _PAIR_GAP
+    lane = jax.lax.broadcasted_iota(jnp.int32, (h, ws), 1)
+    gap_zone = (lane >= w) & (lane < b0)
+
+    def pair_body(pi, carry):
+        cp_in = pltpu.make_async_copy(x_hbm.at[pi], in_buf, sem_in)
+        cp_in.start()
+        cp_in.wait()
+        raw = in_buf[0:h, 0:ws].astype(jnp.int32)
+        t0 = thr_ref[pi, 0]
+        t1 = thr_ref[pi, 1]
+        tvec = jnp.where(
+            lane < w, t0, jnp.where(lane >= b0, t1, jnp.int32(-1))
+        )
+        v = jnp.where(raw <= tvec, jnp.int32(255), jnp.int32(0))
+        v = _paired_morph(v, stages, gap_zone)
+        m = _paired_fill(v > 0, h, ws, lane)
+
+        # seg stats from the PRE-exclusion plane (alignment anchors)
+        _bmi, st = _paired_largest(m, h, ws, w, b0, k_pow, plan)
+        stats_out[pl.ds(pi, 1), :, :] = _paired_stats_row(st)
+
+        if use_zone:
+            # cast before comparing: u8 vector compares crash this
+            # environment's Mosaic (the i8-compare rejection class)
+            m = m & (zone_ref[0:h, 0:ws].astype(jnp.int32) == 0)
+        _paired_emit(m.astype(jnp.int32) * 255, buf, mask_out, pi, sem_out,
+                     h, ws)
+
+        # defect-ROI chain on the post-exclusion mask (binarize is a no-op:
+        # m is already boolean)
+        v2 = _paired_morph(
+            jnp.where(m, jnp.int32(255), jnp.int32(0)), roi_stages, gap_zone
+        )
+        bmi2, st2 = _paired_largest(v2 > 0, h, ws, w, b0, k_pow, plan)
+        stats2_out[pl.ds(pi, 1), :, :] = _paired_stats_row(st2)
+        _paired_emit(bmi2 * 255, buf2, roi_out, pi, sem_out2, h, ws)
         return carry
 
     jax.lax.fori_loop(jnp.int32(0), jnp.int32(p), pair_body, jnp.int32(0))
@@ -884,6 +983,152 @@ def seg_tail_paired_pallas(
         st[:, 5],
         st[:, 6],
         st[:, 7],
+    )
+
+
+def _seg_roi_paired_kernel(
+    x_hbm, thr_ref, zone_ref, mask_out, stats_out, roi_out, stats2_out,
+    in_buf, buf, buf2, s1, s2, s3, **st,
+):
+    _seg_roi_paired_body(
+        x_hbm, thr_ref, zone_ref, mask_out, stats_out, roi_out, stats2_out,
+        in_buf, buf, buf2, s1, s2, s3, **st,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stages", "roi_stages", "plan", "use_zone")
+)
+def seg_roi_tail_paired_pallas(
+    mask: jnp.ndarray,
+    stages,
+    roi_stages,
+    thr: jnp.ndarray,
+    zone: jnp.ndarray | None = None,
+    plan: str = "crc",
+    use_zone: bool = True,
+):
+    """Chained seg tail + shared exclusion zone + defect-ROI tail, paired.
+
+    ``mask``: the blurred gray planes [U, H, W]; ``thr``: per-unit Otsu
+    thresholds; ``zone``: shared [H, W] exclusion plane (reference-image
+    case, any >0 excluded) or None. Returns
+    (seg_mask [U,H,W] u8 post-zone, area, sx, sy, has_fg,
+     roi_mask [U,H,W] u8, roi_area, roi_has_fg,
+     row_lo, row_hi, col_lo, col_hi) — the seg stats are pre-exclusion
+    (alignment anchors); the roi side matches _defect_roi_full on the
+    post-exclusion masks. See _seg_roi_paired_body for what the chaining
+    saves vs two kernels."""
+    u, h, w = mask.shape
+    b0 = w + _PAIR_GAP
+    ws = 2 * w + _PAIR_GAP
+    p = (u + 1) // 2
+    hw = h * ws
+    k_pow = max(2, int(np.ceil(np.log2(hw + 2))))
+    assert (max(h, ws) + 1) * (1 << k_pow) < 2**31, "pair too large for i32"
+    hp = -(-h // 8) * 8
+    wsp = -(-ws // 128) * 128
+    pad_u = 2 * p - u
+    xs = mask
+    if pad_u:
+        xs = jnp.concatenate(
+            [xs, jnp.zeros((pad_u, h, w), xs.dtype)], axis=0
+        )
+    gap = jnp.zeros((p, h, _PAIR_GAP), xs.dtype)
+    stacked = jnp.concatenate([xs[0::2], gap, xs[1::2]], axis=2)
+    if wsp > ws:
+        stacked = jnp.concatenate(
+            [stacked, jnp.zeros((p, h, wsp - ws), xs.dtype)], axis=2
+        )
+    if hp > h:
+        stacked = jnp.concatenate(
+            [stacked, jnp.zeros((p, hp - h, wsp), xs.dtype)], axis=1
+        )
+    tp = thr.astype(jnp.int32)
+    if pad_u:
+        tp = jnp.concatenate([tp, jnp.full((pad_u,), -1, jnp.int32)])
+    thr2 = jnp.stack([tp[0::2], tp[1::2]], axis=1)  # [p, 2]
+    if zone is None or not use_zone:
+        zs = jnp.zeros((hp, wsp), jnp.uint8)
+        use_zone = False
+    else:
+        z8 = zone.astype(jnp.uint8)
+        zs = jnp.concatenate(
+            [z8, jnp.zeros((h, _PAIR_GAP), jnp.uint8), z8], axis=1
+        )
+        zs = jnp.pad(zs, ((0, hp - h), (0, wsp - ws)))
+    static = dict(
+        p=p, h=h, w=w, ws=ws, k_pow=k_pow,
+        stages=stages, roi_stages=roi_stages, plan=plan,
+        use_zone=bool(use_zone),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((p, hp, wsp), jnp.uint8),
+        jax.ShapeDtypeStruct((p, 8, 128), jnp.int32),
+        jax.ShapeDtypeStruct((p, hp, wsp), jnp.uint8),
+        jax.ShapeDtypeStruct((p, 8, 128), jnp.int32),
+    )
+    out_specs = (
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    scratch = [
+        pltpu.VMEM((hp, wsp), jnp.uint8),
+        pltpu.VMEM((hp, wsp), jnp.uint8),
+        pltpu.VMEM((hp, wsp), jnp.uint8),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    out, stats, roi, stats2 = pl.pallas_call(
+        functools.partial(_seg_roi_paired_kernel, **static),
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )(stacked, thr2, zs)
+
+    def unstack_plane(o):
+        return jnp.stack(
+            [o[:, :h, :w], o[:, :h, b0 : b0 + w]], axis=1
+        ).reshape(2 * p, h, w)[:u]
+
+    def unstack_stats(s):
+        return jnp.stack(
+            [s[:, 0, 0:8], s[:, 0, 8:16]], axis=1
+        ).reshape(2 * p, 8)[:u]
+
+    st = unstack_stats(stats)
+    st2 = unstack_stats(stats2)
+    return (
+        unstack_plane(out),
+        st[:, 0],
+        st[:, 1],
+        st[:, 2],
+        st[:, 3] > 0,
+        unstack_plane(roi),
+        st2[:, 0],
+        st2[:, 3] > 0,
+        st2[:, 4],
+        st2[:, 5],
+        st2[:, 6],
+        st2[:, 7],
+    )
+
+
+def seg_roi_paired_fits(shape, stages, roi_stages) -> bool:
+    """Gate for the chained kernel: both stage chains' reaches must stay
+    within the inter-unit gap, everything else as tail_paired_fits (the
+    extra uint8 buffer and zone plane are noise next to the int32 fixpoint
+    temporaries the bound budgets for)."""
+    return tail_paired_fits(shape, stages) and tail_paired_fits(
+        shape, roi_stages
     )
 
 
