@@ -315,8 +315,13 @@ def main_stream():
     def chained_frames(fr):
         def body(i, carry):
             fr_c, acc = carry
-            img = jax.lax.dynamic_index_in_dim(
-                fr_c, i % F, axis=0, keepdims=False
+            # barrier: without it XLA fuses the frame gather into kernel
+            # operand copies and the scoped-VMEM accounting blows past the
+            # 16 MB limit (observed on the full-width median fallback)
+            img = jax.lax.optimization_barrier(
+                jax.lax.dynamic_index_in_dim(
+                    fr_c, i % F, axis=0, keepdims=False
+                )
             )
             o = _inspect_image_device(img, *args_rest, **kw)
             v, a = o[4][3], o[4][2]

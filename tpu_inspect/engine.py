@@ -519,7 +519,6 @@ def _defect_narrow_window(
         k * k < 2048
         and w > W
         and median_fits((u, h, W))
-        and median_fits((u, h, w))  # runtime fallback branch
         and blob_filter_fits((u, h, WB))
         and blob_filter_fits((u, h, w))
     ):
@@ -570,9 +569,15 @@ def _defect_narrow_window(
         return out_full, area
 
     def full(c):
-        cand = median_residual_mask_pallas(
-            c, k, thr, row_lo=row_lo, row_hi=row_hi
-        )
+        # exactness-insurance branch (ROI union wider than the window —
+        # essentially never on grid workloads). PURE-XLA median scan, NOT
+        # any full-width resident kernel: the [U, H, 1, W] VMEM layouts of
+        # those kernels blew the 16 MB scoped-VMEM limit in larger programs
+        # (the multi-frame stream loop), failing the whole compile for a
+        # branch that never runs.
+        bg = median._median_blur_u8_scan(c, k)
+        resid = jnp.abs(c.astype(jnp.int32) - bg.astype(jnp.int32))
+        cand = threshold.threshold_binary(resid, thr)
         return blob_filter_pallas(
             cand, 2 * max_area, min_x2=2 * min_area, roi=roi, pre_open=True
         )
@@ -867,6 +872,11 @@ def _inspect_image_device(
             crops, rects, circles, seg=seg,
             erode_px=int(defect.erode_px), shape_hw=unit_hw,
         )
+        # barrier (like the split path's on masks): without it the
+        # scheduler can overlap the chained-tail and median kernels'
+        # scoped-VMEM allocations, which blew the 16 MB limit in the
+        # multi-frame stream program
+        roi_pack = jax.lax.optimization_barrier(roi_pack)
         defect_out = _defect_from_roi(crops, roi_pack, params=defect)
         return seg_out + (defect_out,)
     seg_out = _segment_device(
