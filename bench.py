@@ -189,7 +189,10 @@ def main_config1(with_defects: bool = False):
         log(f"defect: area={int(area[0])} NG={bool(verdict[0])}")
     log(f"parity: exact={parity}")
 
-    N = 4
+    # N amortizes the ~20 ms tunnel dispatch (at N=4 that's still ~5 ms of
+    # the per-image number); 16 brings the metric within ~1 ms of device
+    # time while keeping the chained compile tractable
+    N = 16
 
     def chained(a):
         def body(i, c):
