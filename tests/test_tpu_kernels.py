@@ -688,3 +688,76 @@ def test_median_col_window_narrow_and_fallback():
         for i in range(u):
             exp = ref_masks[i] if ref_masks[i] is not None else np.zeros((h, w), np.uint8)
             np.testing.assert_array_equal(got[i], exp, err_msg=f"{name} unit {i}")
+
+
+def test_pallas_median_cdfx_variant_parity():
+    """The cdfx rank-query variant (cumulative histograms + binary-select
+    cdf extraction — the round-5 production path) vs cv2 and vs the base
+    variant, on hardware at the production chunk."""
+    import cv2
+    import jax.numpy as jnp
+
+    from tpu_inspect.ops.median_pallas import median_residual_mask_pallas
+
+    imgs = np.random.RandomState(9).randint(
+        0, 256, (48, 60, 256), dtype=np.uint8
+    )
+    for k, thr in ((21, 24), (3, 0), (9, 255)):
+        ref = []
+        for im in imgs:
+            bg = cv2.medianBlur(im, k)
+            resid = cv2.absdiff(im, bg)
+            _, m = cv2.threshold(resid, thr, 255, cv2.THRESH_BINARY)
+            ref.append(m)
+        ours = np.asarray(
+            median_residual_mask_pallas(
+                jnp.asarray(imgs), k, thr, chunk=24, variant="cdfx"
+            )
+        )
+        np.testing.assert_array_equal(
+            ours, np.stack(ref), err_msg=f"cdfx k={k} thr={thr}"
+        )
+
+
+def test_pallas_seg_roi_chained_parity():
+    """The chained seg+zone+roi paired kernel (round 5) vs the split
+    kernels + XLA zone masking, on hardware (even width -> the 2x2-block
+    BBDT labeling path)."""
+    import jax.numpy as jnp
+
+    from tpu_inspect.ops import threshold
+    from tpu_inspect.ops.fused_pallas import (
+        seg_roi_tail_paired_pallas,
+        seg_tail_paired_pallas,
+    )
+    from tpu_inspect.ops.gaussian import gaussian_blur_u8
+    from tpu_inspect.ops.morph_pallas import _close_open_stages
+
+    rng = np.random.RandomState(13)
+    u, h, w = 6, 80, 90
+    crops = rng.randint(0, 256, (u, h, w), dtype=np.uint8)
+    x = gaussian_blur_u8(jnp.asarray(crops), 3)
+    thr = threshold.otsu_threshold(x)
+    stages = _close_open_stages(3)
+    n = 4
+    roi_stages = (
+        ("erode", tuple((dy, -n, n) for dy in range(-n, n + 1))),
+    )
+    zone = np.zeros((h, w), np.uint8)
+    zone[20:50, 30:70] = 1
+
+    smask, sarea, ssx, ssy, shas, *_ = seg_tail_paired_pallas(
+        x, stages=stages, fill=True, thr=thr
+    )
+    post = np.where(zone[None] > 0, 0, np.asarray(smask)).astype(np.uint8)
+    rmask, rarea, _, _, rhas, rl, rh, cl, ch = seg_tail_paired_pallas(
+        jnp.asarray(post), stages=roi_stages, fill=False, out_largest=True
+    )
+    got = seg_roi_tail_paired_pallas(
+        x, stages, roi_stages, thr, zone=jnp.asarray(zone), use_zone=True
+    )
+    refs = (post, sarea, ssx, ssy, shas, rmask, rarea, rhas, rl, rh, cl, ch)
+    for i, (r, g) in enumerate(zip(refs, got)):
+        np.testing.assert_array_equal(
+            np.asarray(r), np.asarray(g), err_msg=f"chained out {i}"
+        )

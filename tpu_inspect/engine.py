@@ -828,6 +828,10 @@ def _seg_roi_chain_fits(crops_shape, seg: SegmentationParams,
     from tpu_inspect.ops.fused_pallas import seg_roi_paired_fits
     from tpu_inspect.ops.morph_pallas import _close_open_stages
 
+    import os
+
+    if os.environ.get("TPU_INSPECT_DISABLE_CHAIN"):
+        return False  # A/B escape hatch (both paths are exact; see PERF.md)
     if seg.method == "adaptive":
         return False  # the chained kernel fuses the otsu threshold compare
     k = _morph_k(seg)
