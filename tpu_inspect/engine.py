@@ -830,8 +830,16 @@ def _seg_roi_chain_fits(crops_shape, seg: SegmentationParams,
 
     import os
 
-    if os.environ.get("TPU_INSPECT_DISABLE_CHAIN"):
-        return False  # A/B escape hatch (both paths are exact; see PERF.md)
+    if not os.environ.get("TPU_INSPECT_ENABLE_CHAIN"):
+        # Both paths are exact and within noise of each other; the split
+        # kernels measured consistently ~0.02 ms/image faster across three
+        # A/B pairs (4.63-4.68 vs 4.65-4.70), so they stay the default and
+        # the chained kernel is the opt-in variant (it removes two
+        # whole-batch XLA passes — likely the better trade on hardware
+        # without this environment's dispatch patterns). Covered either
+        # way: interpret + TPU-hardware parity tests run the chained
+        # kernel directly.
+        return False
     if seg.method == "adaptive":
         return False  # the chained kernel fuses the otsu threshold compare
     k = _morph_k(seg)
