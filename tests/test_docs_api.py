@@ -67,6 +67,25 @@ def test_doc_path_resolves(path):
         obj = getattr(obj, attr)
 
 
+def test_readme_usage_snippet_executes():
+    """The README's Usage code block, executed nearly verbatim (grid.json
+    swapped for the reference fixture, image for a synthetic capture)."""
+    from tpu_inspect.config import SegmentationParams, DefectParams
+    from tpu_inspect.persistence import load_grid
+    from tpu_inspect.engine import inspect_image
+    from tpu_inspect.synthetic import make_mold_image
+
+    doc = load_grid("/root/reference/grid.json")
+    image = make_mold_image(doc.grid_params, (3000, 4096), seed=3,
+                            defect_rate=0.3)
+    seg_res, insp = inspect_image(image, doc.grid_params,
+                                  SegmentationParams(), DefectParams(),
+                                  exclusions=doc.exclusions)
+    assert insp.verdicts.dtype == bool
+    assert insp.verdicts.shape == (doc.grid_params.num_units,)
+    assert seg_res.masks.shape[0] == doc.grid_params.num_units
+
+
 def test_readme_snippet_names_exist():
     """The specific round-4 drift cases, pinned explicitly."""
     from tpu_inspect import parallel, streaming
