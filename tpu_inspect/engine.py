@@ -496,8 +496,10 @@ def _defect_narrow_window(
     ROI (the blob kernel ANDs with it), and the window construction leaves
     >= (k//2)-1 background columns between the ROI and any non-image window
     edge, so the narrow plane's implicit exterior border is contour-
-    equivalent to the full plane's. Falls back to the full-width kernels at
-    runtime (lax.cond) when the ROI column union exceeds the window.
+    equivalent to the full plane's. Falls back at runtime (lax.cond) to the
+    pure-XLA median scan + full-width blob kernel when the ROI column union
+    exceeds the window (exactness insurance — see the branch comment for
+    why the full-width RESIDENT median kernels can't sit in this branch).
     Reference semantics: indexing_ui.py:1519-1558.
     """
     from tpu_inspect.ops.blob_pallas import blob_filter_fits, blob_filter_pallas

@@ -157,10 +157,12 @@ def _median_residual_kernel(
       Mosaic rejects slicing the (·, ·, 1, w) layout for DMA, so x/out stay
       whole-batch VMEM-resident); the group processes the UNION of its
       units' ROI row ranges (unions only add work, never change values);
-    - the two rank queries pack into ONE mul+reduce: weight 2048*[v<=g+thr]
-      + [v<=g-thr-1] built from E = bin - g with two scalar-threshold
-      compares; the packed f32 sum < 2^23 stays exact (fields hold counts
-      <= k*k <= 2025) and splits back with shift/mask.
+    - rank queries, per variant: "base"/"qdirect" pack both into ONE
+      mul+reduce (weights 2048*[v<=g+thr] + [v<=g-thr-1]; the packed f32
+      sum < 2^23 stays exact for counts <= k*k <= 2025); "cdfx" — the
+      round-5 production path — maintains CUMULATIVE histograms and
+      extracts the window cdf at the per-column thresholds by a
+      binary-select descent (see the variant comment below).
     """
     r = k // 2
     rank = (k * k + 1) // 2
