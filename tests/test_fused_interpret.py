@@ -457,6 +457,20 @@ def test_seg_tail_paired_interpret(interp):
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
 
+    # ODD width: unit B's lane offset can't block-align, so the paired
+    # kernel must route to the pixel-level labeling path — keep it covered
+    # now that even widths take the 2x2-block BBDT path
+    masks_odd = (crops[:, :, :43] > 100).astype(np.uint8) * 255
+    masks_odd[2, :, 42] = 255
+    ref = fp.seg_tail_pallas(
+        jnp.asarray(masks_odd), stages=stages, fill=False, out_largest=True
+    )
+    got = fp.seg_tail_paired_pallas(
+        jnp.asarray(masks_odd), stages=stages, fill=False, out_largest=True
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
 
 def test_tail_paired_reach_gate(interp):
     """Stages whose horizontal reach exceeds the 8-lane inter-unit gap must
