@@ -537,7 +537,4 @@ if __name__ == "__main__":
         # the headline metric also runs under the stall supervisor: the
         # remote-compile/dispatch stall (~50% odds on bad days) would
         # otherwise wedge the driver's one capture of the round
-        _supervised(
-            "main", "full_grid_4096x3000_seg_defect_ms_per_image",
-            timeouts=(900, 600, 600),
-        )
+        _supervised("main", "full_grid_4096x3000_seg_defect_ms_per_image")

@@ -604,6 +604,62 @@ def test_seg_roi_chained_interpret(interp):
             )
 
 
+def test_engine_chained_path_interpret(interp, monkeypatch):
+    """The TPU_INSPECT_ENABLE_CHAIN engine plumbing end-to-end
+    (_inspect_image_device -> _segment_roi_device -> _defect_from_roi):
+    the chained path's full output tuple must equal the split path's on
+    the same inputs, exclusions included (round-5 review finding: only
+    the chained KERNEL had coverage, not the engine wiring around it)."""
+    import jax
+
+    from tpu_inspect import engine
+    from tpu_inspect.config import DefectParams, SegmentationParams
+
+    rng = np.random.RandomState(21)
+    uh, uw = 40, 44
+    image = rng.randint(0, 256, (100, 140), dtype=np.uint8)
+    # origins are (x, y) top-left corners (imageio.gather_crops)
+    origins = np.array(
+        [[2, 2], [48, 2], [94, 2], [2, 50], [48, 50], [94, 50]],
+        dtype=np.int32,
+    )
+    rects, circles = engine.pack_exclusions(
+        [{"shape": "rect", "x": 5, "y": 6, "w": 10, "h": 8}]
+    )
+    seg = SegmentationParams(gaussian_blur=3, morph_kernel=3).validated()
+    dp = DefectParams(median_k=5, erode_px=2, threshold=20,
+                      min_area=3).validated()
+    u = origins.shape[0]
+    args = (
+        jnp.asarray(image),
+        jnp.asarray(origins),
+        jnp.asarray(rects),
+        jnp.asarray(circles),
+        jnp.zeros((u, 2), jnp.float64),
+        jnp.zeros((u,), bool),
+    )
+    kw = dict(seg=seg, defect=dp, is_reference=True, unit_hw=(uh, uw),
+              with_defects=True)
+
+    def flatten(out):
+        leaves = []
+        for v in jax.tree_util.tree_leaves(out):
+            leaves.append(np.asarray(v))
+        return leaves
+
+    monkeypatch.setattr(engine, "_ENABLE_CHAIN", False)
+    split = flatten(engine._inspect_image_device(*args, **kw))
+    jax.clear_caches()
+    monkeypatch.setattr(engine, "_ENABLE_CHAIN", True)
+    monkeypatch.setattr(
+        engine, "_seg_roi_chain_fits", lambda *_a, **_k: True
+    )
+    chained = flatten(engine._inspect_image_device(*args, **kw))
+    assert len(split) == len(chained)
+    for i, (a, b) in enumerate(zip(split, chained)):
+        np.testing.assert_array_equal(a, b, err_msg=f"leaf {i}")
+
+
 def test_defect_narrow_window_interpret(interp, monkeypatch):
     """engine._defect_narrow_window (median + blob filter riding one shared
     ROI column window, lax.cond narrow vs full fallback) on the CPU backend:

@@ -360,12 +360,9 @@ def _defect_roi_full(seg_masks: jnp.ndarray, erode_px: int):
 
     if tail_fits(seg_masks.shape):
         # TPU: (2n+1)^2 erode + largest-component selection in one kernel
-        n = int(erode_px)
-        stages = (
-            (("erode", tuple((dy, -n, n) for dy in range(-n, n + 1))),)
-            if n > 0
-            else ()
-        )
+        # (the SAME stage constructor as the chained path — the two must
+        # stay identical for identical static cache keys and semantics)
+        stages = _roi_erode_stages(erode_px)
         roi_u8, area, _, _, has_fg, row_lo, row_hi, col_lo, col_hi = (
             seg_tail_auto(
                 seg_masks, stages=stages, fill=False, out_largest=True
@@ -825,14 +822,19 @@ def _segment_roi_device(
     return (mask, sums, has_fg, dxy), roi_pack
 
 
+# Read ONCE at import: the gate runs at trace time and the engine's jit
+# cache is not keyed on it, so a mid-process flip would be silently ignored
+# for already-traced shapes anyway. Set the env var before importing
+# tpu_inspect (or call jax.clear_caches() after changing it).
+_ENABLE_CHAIN = bool(__import__("os").environ.get("TPU_INSPECT_ENABLE_CHAIN"))
+
+
 def _seg_roi_chain_fits(crops_shape, seg: SegmentationParams,
                         erode_px: int) -> bool:
     from tpu_inspect.ops.fused_pallas import seg_roi_paired_fits
     from tpu_inspect.ops.morph_pallas import _close_open_stages
 
-    import os
-
-    if not os.environ.get("TPU_INSPECT_ENABLE_CHAIN"):
+    if not _ENABLE_CHAIN:
         # Both paths are exact and within noise of each other; the split
         # kernels measured consistently ~0.02 ms/image faster across three
         # A/B pairs (4.63-4.68 vs 4.65-4.70), so they stay the default and
@@ -840,7 +842,8 @@ def _seg_roi_chain_fits(crops_shape, seg: SegmentationParams,
         # whole-batch XLA passes — likely the better trade on hardware
         # without this environment's dispatch patterns). Covered either
         # way: interpret + TPU-hardware parity tests run the chained
-        # kernel directly.
+        # kernel directly, and tests/test_fused_interpret.py drives the
+        # full engine pipeline through this gate with the flag forced.
         return False
     if seg.method == "adaptive":
         return False  # the chained kernel fuses the otsu threshold compare
