@@ -19,6 +19,7 @@ recompiles only when the count crosses a power of two.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -826,7 +827,7 @@ def _segment_roi_device(
 # cache is not keyed on it, so a mid-process flip would be silently ignored
 # for already-traced shapes anyway. Set the env var before importing
 # tpu_inspect (or call jax.clear_caches() after changing it).
-_ENABLE_CHAIN = bool(__import__("os").environ.get("TPU_INSPECT_ENABLE_CHAIN"))
+_ENABLE_CHAIN = bool(os.environ.get("TPU_INSPECT_ENABLE_CHAIN"))
 
 
 def _seg_roi_chain_fits(crops_shape, seg: SegmentationParams,
